@@ -1,0 +1,110 @@
+"""Typed configuration system.
+
+Replaces the reference's module-level config dicts
+(Stage2_lhm/scripts/configs.py:1-57) with frozen dataclasses carrying the
+same default values, so runs are reproducible and configs hashable (usable as
+static args under ``jax.jit``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechConfig:
+    """Front-end / signal configuration (reference configs.py:1-8)."""
+
+    in_norm: bool = True
+    sample_rate: int = 16000
+    win_size: int = 512
+    hop_size: int = 256
+    win_type: str = "hann"
+
+    @property
+    def n_freqs(self) -> int:
+        return self.win_size // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ErbConfig:
+    """ERB filterbank configuration (reference configs.py:21-27)."""
+
+    n_freqs: int = 257
+    sample_rate: int = 16000
+    total_erb_bands: int = 32
+    low_freq: float = 0.0
+    max_freq: float = 8000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / loop configuration (reference configs.py:10-19).
+
+    ``zero_grad`` notes a deliberate divergence: the reference training loop
+    never calls ``optimizer.zero_grad()`` (train1.py:204-218), accumulating
+    gradients forever — a genuine bug we do not reproduce.
+    """
+
+    lr: float = 1e-5
+    lr_decay_factor: float = 0.5
+    lr_decay_period: int = 5  # epochs between stepwise lr decays
+    clip_norm: float = -1.0  # < 0 disables clipping (reference semantics)
+    max_n_epochs: int = 50
+    batch_size: int = 16
+    logging_period: int = 0  # 0 -> once per epoch (train1.py:105)
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class NlmsConfig:
+    """Stage-1 frequency-domain (multidelay) NLMS.
+
+    New component (no reference implementation exists; BASELINE.json config
+    #1: 512-pt STFT, hop 256, single far-end/mic pair).
+    """
+
+    n_blocks: int = 10  # far-end history partitions (filter taps per bin)
+    mu: float = 0.5  # step size
+    eps: float = 1e-6  # regularizer in the normalized update
+    power_smooth: float = 0.9  # smoothing of the per-bin far-end power
+
+
+@dataclasses.dataclass(frozen=True)
+class KalmanConfig:
+    """Stage-1 partitioned-block frequency-domain Kalman filter.
+
+    New component (BASELINE.json config #2: 10-block partition).
+    Diagonal state covariance per (block, bin); transition factor ``a``
+    models echo-path drift (Enzner & Vary 2006 style state-space FDAF).
+    """
+
+    n_blocks: int = 10
+    a: float = 0.9999  # state transition factor
+    psi_floor: float = 1e-10  # floor for covariance / psd estimates
+    obs_smooth: float = 0.9  # smoothing for observation-noise psd estimate
+    init_p: float = 1e-2  # initial state covariance
+
+
+@dataclasses.dataclass(frozen=True)
+class LittleNetConfig:
+    """Production model hyperparameters (reference ERB.py:203-229)."""
+
+    erb_bands: int = 32
+    gru_hidden: int = 32  # == erb_bands (ERB.py:213)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Data pipeline configuration."""
+
+    sample_rate: int = 16000
+    bucket_quantum: int = 4096  # pad lengths up to a multiple (static shapes)
+
+
+DEFAULT_SPEECH = SpeechConfig()
+DEFAULT_ERB = ErbConfig()
+DEFAULT_TRAIN = TrainConfig()
+DEFAULT_NLMS = NlmsConfig()
+DEFAULT_KALMAN = KalmanConfig()
