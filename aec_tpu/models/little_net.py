@@ -1,0 +1,167 @@
+"""LittleNet — the production ERB-domain residual-echo-suppression post-filter.
+
+TPU-native re-design of the reference's ``Little_net`` (ERB.py:203-335,
+~12.5k params: GRU(64->32) + Linear(64->32) + Linear(32->32)). Pure-functional
+param pytree + jittable apply; STFT/ERB/mask/iSTFT are all MXU matmuls, the
+only recurrence is the GRU ``lax.scan``.
+
+Forward contract (parity with ERB.py:252-334, quirks preserved per SURVEY §2.4):
+1. global scalar pseudo-norm: ``x - mean(x)/std(x)`` — a single scalar ratio
+   subtracted from the whole batch, std unbiased (ERB.py:254-256);
+2. STFT of mic/ref/near (512/256 hann, both-side pad);
+3. magnitudes with in-sqrt 1e-9 epsilon (ERB.py:277-279);
+4. ERB projection ``mag @ erb`` (analysis-only 257x32 matrix);
+5. features ``[mic_erb || |mic_erb - ref_erb|]`` (ERB.py:287-290);
+6. GRU(64->32) -> concat with mic_erb -> Linear+ReLU -> Linear+Sigmoid;
+7. ``est_erb = mask * mic_erb``; back-projection ``est_erb @ erb.T``; the SAME
+   projected gain multiplies real and imag (ERB.py:304-310);
+8. iSTFT + 1e-9 (ERB.py:314-316);
+9. loss = sum |near_erb^0.5 - est_erb^0.5|^2 / (T * n_bands)  — note: summed
+   over batch, normalized by T*bands only (ERB.py:318-323).
+"""
+
+from __future__ import annotations
+
+from typing import Any, TypedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aec_tpu.dsp import stft as stft_mod
+from aec_tpu.dsp.stft import StftConfig, split_complex
+from aec_tpu.ops.gru import GruParams, gru_init, gru_scan
+
+
+class LinearParams(TypedDict):
+    w: jax.Array  # (out, in) — torch layout for checkpoint parity
+    b: jax.Array  # (out,)
+
+
+class LittleNetParams(TypedDict):
+    gru: GruParams
+    lin1: LinearParams
+    lin2: LinearParams
+
+
+def _kaiming_uniform(key, shape, gain: float, dtype):
+    """torch ``kaiming_uniform_(mode='fan_in')``: U(-g*sqrt(3/fan_in), +)."""
+    fan_in = shape[1]
+    bound = gain * np.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def little_net_init(
+    key: jax.Array, erb_bands: int = 32, dtype=jnp.float32
+) -> LittleNetParams:
+    """Init mirroring the reference policy (ERB.py:227-250):
+
+    orthogonal GRU weights; linear1 kaiming-uniform with ReLU gain sqrt(2);
+    linear2 kaiming-uniform with sigmoid gain 1.0; zero linear biases.
+    """
+    k_gru, k1, k2 = jax.random.split(key, 3)
+    return LittleNetParams(
+        gru=gru_init(k_gru, 2 * erb_bands, erb_bands, orthogonal=True, dtype=dtype),
+        lin1=LinearParams(
+            w=_kaiming_uniform(k1, (erb_bands, 2 * erb_bands), np.sqrt(2.0), dtype),
+            b=jnp.zeros((erb_bands,), dtype),
+        ),
+        lin2=LinearParams(
+            w=_kaiming_uniform(k2, (erb_bands, erb_bands), 1.0, dtype),
+            b=jnp.zeros((erb_bands,), dtype),
+        ),
+    )
+
+
+def _pseudo_norm(x: jax.Array) -> jax.Array:
+    """Reference quirk §2.4.1: subtract the scalar mean/std ratio (ERB.py:254)."""
+    mean = jnp.mean(x)
+    # torch.std default: unbiased (ddof=1) over all elements
+    std = jnp.sqrt(jnp.sum((x - mean) ** 2) / (x.size - 1))
+    return x - mean / std
+
+
+def little_net_features(
+    mic: jax.Array,
+    ref: jax.Array,
+    erb: jax.Array,
+    cfg: StftConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared feature path: returns (gru_input [B,T,2E], mic_erb, mic_spec)."""
+    mic_spec = stft_mod.stft(mic, cfg)  # [B, T, 2K]
+    ref_spec = stft_mod.stft(ref, cfg)
+    mic_erb = stft_mod.magnitude(mic_spec) @ erb  # [B, T, E]
+    ref_erb = stft_mod.magnitude(ref_spec) @ erb
+    feats = jnp.concatenate([mic_erb, jnp.abs(mic_erb - ref_erb)], axis=-1)
+    return feats, mic_erb, mic_spec
+
+
+def little_net_apply(
+    params: LittleNetParams,
+    mic: jax.Array,
+    ref: jax.Array,
+    erb: jax.Array,
+    cfg: StftConfig = StftConfig(),
+    *,
+    normalize: bool = True,
+) -> dict[str, jax.Array]:
+    """Forward pass: mic/ref wav [B, n] -> enhanced wav + intermediates.
+
+    Returns dict with ``wav`` [B, n], ``est_erb`` [B, T, E], ``mask``.
+    ``normalize`` applies the reference's global pseudo-norm to mic/ref
+    (the `near` branch of the norm lives in :func:`little_net_loss`).
+    """
+    if normalize:
+        mic = _pseudo_norm(mic)
+        ref = _pseudo_norm(ref)
+    feats, mic_erb, mic_spec = little_net_features(mic, ref, erb, cfg)
+
+    out1, _ = gru_scan(params["gru"], feats)  # [B, T, E]
+    hid = jnp.concatenate([out1, mic_erb], axis=-1)  # skip concat (ERB.py:295)
+    hid = jax.nn.relu(hid @ params["lin1"]["w"].T + params["lin1"]["b"])
+    mask = jax.nn.sigmoid(hid @ params["lin2"]["w"].T + params["lin2"]["b"])
+
+    est_erb = mask * mic_erb  # [B, T, E]
+    gain = est_erb @ erb.T  # un-normalized back-projection (ERB.py:306-307)
+    re, im = split_complex(mic_spec)
+    out_spec = jnp.concatenate([gain * re, gain * im], axis=-1)
+    wav = stft_mod.istft(out_spec, cfg) + 1e-9  # (ERB.py:314-316)
+    return {"wav": wav, "est_erb": est_erb, "mask": mask, "mic_spec": mic_spec}
+
+
+def little_net_loss(
+    params: LittleNetParams,
+    mic: jax.Array,
+    ref: jax.Array,
+    near: jax.Array,
+    erb: jax.Array,
+    cfg: StftConfig = StftConfig(),
+    *,
+    normalize: bool = True,
+    sqrt_eps: float = 0.0,
+) -> tuple[jax.Array, dict[str, Any]]:
+    """Training objective: compressed ERB-magnitude MSE (ERB.py:318-323).
+
+    Returns (loss, aux) where aux carries the enhanced waveform.
+
+    ``sqrt_eps=0`` is exact parity. For training we pass a tiny epsilon into
+    the sqrt: ``est_erb = mask * mic_erb`` can underflow to exactly 0 in
+    float32 (sigmoid underflow), where d sqrt/dx = inf poisons every gradient
+    — a hazard the reference's torch code shares. Documented divergence, like
+    the zero_grad fix (SURVEY §2.4.4).
+    """
+    if normalize:
+        mic = _pseudo_norm(mic)
+        ref = _pseudo_norm(ref)
+        near = _pseudo_norm(near)
+    out = little_net_apply(params, mic, ref, erb, cfg, normalize=False)
+    near_erb = stft_mod.magnitude(stft_mod.stft(near, cfg)) @ erb  # [B, T, E]
+    t, e = near_erb.shape[-2], near_erb.shape[-1]
+    diff = jnp.sqrt(near_erb + sqrt_eps) - jnp.sqrt(out["est_erb"] + sqrt_eps)
+    loss = jnp.sum(diff * diff) / (t * e)
+    return loss, {"wav": out["wav"], "est_erb": out["est_erb"]}
+
+
+def param_count(params) -> int:
+    """Total trainable parameters (tools.py:25-27 equivalent)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

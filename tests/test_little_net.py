@@ -1,0 +1,72 @@
+"""End-to-end LittleNet parity vs the float64/torch oracle (ERB.py:252-334)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.dsp.erb import erb_filterbank
+from aec_tpu.dsp.stft import StftConfig
+from aec_tpu.models.little_net import (
+    little_net_apply,
+    little_net_init,
+    little_net_loss,
+    param_count,
+)
+from oracles import oracle_little_net
+
+
+def _make_inputs(rng, b=2, n=8192):
+    near = 0.1 * rng.standard_normal((b, n)).astype(np.float32)
+    echo = 0.2 * rng.standard_normal((b, n)).astype(np.float32)
+    ref = rng.standard_normal((b, n)).astype(np.float32)
+    mic = near + echo
+    return mic, ref, near
+
+
+def test_param_count_matches_reference():
+    # GRU(64->32)=9408 + Linear(64->32)=2080 + Linear(32->32)=1056 = 12544
+    params = little_net_init(jax.random.PRNGKey(0))
+    assert param_count(params) == 12544
+
+
+def test_little_net_forward_parity(rng):
+    params = little_net_init(jax.random.PRNGKey(3))
+    erb64 = erb_filterbank(dtype=np.float64)
+    erb32 = jnp.asarray(erb64, dtype=jnp.float32)
+    mic, ref, near = _make_inputs(rng)
+
+    loss, aux = jax.jit(little_net_loss, static_argnames=("cfg",))(
+        params, jnp.asarray(mic), jnp.asarray(ref), jnp.asarray(near), erb32,
+        cfg=StftConfig(),
+    )
+    np_params = jax.tree.map(np.asarray, dict(params))
+    want_wav, want_loss, want_est = oracle_little_net(np_params, mic, ref, near, erb64)
+
+    got_wav = np.asarray(aux["wav"])
+    assert got_wav.shape == want_wav.shape == mic.shape
+    np.testing.assert_allclose(got_wav, want_wav, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aux["est_erb"]), want_est, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(loss), want_loss, rtol=2e-3)
+
+
+def test_little_net_mask_bounded(rng):
+    params = little_net_init(jax.random.PRNGKey(4))
+    erb32 = jnp.asarray(erb_filterbank())
+    mic, ref, _ = _make_inputs(rng, b=1, n=4096)
+    out = little_net_apply(params, jnp.asarray(mic), jnp.asarray(ref), erb32)
+    mask = np.asarray(out["mask"])
+    assert np.all(mask >= 0) and np.all(mask <= 1)
+
+
+def test_little_net_grad_finite(rng):
+    params = little_net_init(jax.random.PRNGKey(5))
+    erb32 = jnp.asarray(erb_filterbank())
+    mic, ref, near = _make_inputs(rng, b=1, n=4096)
+    grads = jax.grad(
+        lambda p: little_net_loss(
+            p, jnp.asarray(mic), jnp.asarray(ref), jnp.asarray(near), erb32,
+            sqrt_eps=1e-12,
+        )[0]
+    )(params)
+    for g in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
