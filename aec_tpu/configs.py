@@ -83,8 +83,8 @@ class KalmanConfig:
     n_blocks: int = 10
     a: float = 0.9999  # state transition factor
     psi_floor: float = 1e-10  # floor for covariance / psd estimates
-    obs_smooth: float = 0.9  # smoothing for observation-noise psd estimate
-    init_p: float = 1e-2  # initial state covariance
+    obs_smooth: float = 0.5  # smoothing for observation-noise psd estimate
+    init_p: float = 10.0  # initial state covariance (fast initial adaptation)
 
 
 @dataclasses.dataclass(frozen=True)

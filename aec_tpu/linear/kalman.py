@@ -1,0 +1,140 @@
+"""Stage-1 linear AEC: partitioned-block frequency-domain Kalman filter.
+
+NEW component — no reference implementation exists (SURVEY.md §0 item 1);
+mandated by BASELINE.json config #2 ("10-block partition, single utterance").
+Diagonalized state-space frequency-domain adaptive filter in the spirit of
+Enzner & Vary (2006) / Kuech, Mabande & Enzner (2014), on the same
+overlap-save (MDF) structure as :mod:`aec_tpu.linear.nlms` so linear
+convolution is modeled exactly. TPU-first: one ``lax.scan`` over blocks;
+every per-frame quantity is elementwise over the (L partitions x K bins)
+grid plus one reduction over L; utterance batching via ``jax.vmap``.
+
+Per bin k, partitions l, diagonal covariance P[l,k] (real):
+
+  predict:  W-  = a * W                       (echo-path drift model)
+            P-  = a^2 * P + (1 - a^2) |W|^2   (process noise)
+  observe:  e   = d_block - last_B(ifft(sum_l W-[l] X[l]))
+            psi = smoothed |E|^2              (observation-noise psd)
+            den = sum_l |X[l]|^2 P-[l] + 2*psi
+  update:   W   = W- + constrain(P-[l] conj(X[l]) E / den)
+            P   = max(P- (1 - P- |X|^2 / den), floor)
+
+(The factor 2 on psi reflects the overlap-save zero-padded error spectrum
+carrying half the energy of a full frame — standard in PBFDKF derivations.)
+"""
+
+from __future__ import annotations
+
+from typing import TypedDict
+
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.configs import KalmanConfig
+from aec_tpu.linear import overlap_save as ols
+
+
+class KalmanState(TypedDict):
+    w: jax.Array  # (L, K) complex64 — echo-path estimate per partition/bin
+    p: jax.Array  # (L, K) float32 — diagonal state covariance
+    x_buf: jax.Array  # (L, K) complex64 — far-end history, 0 = newest
+    psi: jax.Array  # (K,) float32 — observation-noise psd estimate
+
+
+def kalman_init(
+    cfg: KalmanConfig, n_freqs: int = 257, dtype=jnp.complex64
+) -> KalmanState:
+    return KalmanState(
+        w=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
+        p=jnp.full((cfg.n_blocks, n_freqs), cfg.init_p, dtype=jnp.float32),
+        x_buf=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
+        psi=jnp.full((n_freqs,), cfg.psi_floor, dtype=jnp.float32),
+    )
+
+
+def kalman_step(
+    cfg: KalmanConfig,
+    state: KalmanState,
+    x_t: jax.Array,
+    d_t: jax.Array,
+    *,
+    block: int = 256,
+    constrain: bool = True,
+) -> tuple[KalmanState, jax.Array]:
+    """One block update; far spectrum [K], mic time block [B] -> e block."""
+    x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
+    a2 = cfg.a * cfg.a
+
+    # Predict.
+    w_pred = cfg.a * state["w"]
+    w_mag2 = jnp.real(state["w"]) ** 2 + jnp.imag(state["w"]) ** 2
+    p_pred = a2 * state["p"] + (1.0 - a2) * w_mag2
+
+    # Prior residual (overlap-save time domain), then its spectrum.
+    y_spec = jnp.sum(w_pred * x_buf, axis=0)
+    e_block = d_t - ols.spectrum_to_block(y_spec, block)
+    e_spec = ols.block_to_spectrum(e_block, block)
+    e_mag2 = jnp.real(e_spec) ** 2 + jnp.imag(e_spec) ** 2
+    psi = cfg.obs_smooth * state["psi"] + (1.0 - cfg.obs_smooth) * e_mag2
+    psi = jnp.maximum(psi, cfg.psi_floor)
+
+    # Gain and update.
+    x_mag2 = jnp.real(x_buf) ** 2 + jnp.imag(x_buf) ** 2  # (L, K)
+    den = jnp.sum(x_mag2 * p_pred, axis=0) + 2.0 * psi  # (K,)
+    upd = p_pred * jnp.conj(x_buf) * (e_spec / den)[None, :]  # (L, K)
+    if constrain:
+        upd = ols.constrain_gradient(upd, block)
+    w = w_pred + upd
+    p = p_pred * (1.0 - p_pred * x_mag2 / den[None, :])
+    p = jnp.maximum(p, cfg.psi_floor)
+
+    return KalmanState(w=w, p=p, x_buf=x_buf, psi=psi), e_block
+
+
+def kalman_filter(
+    cfg: KalmanConfig,
+    x_spec: jax.Array,
+    d_blocks: jax.Array,
+    state: KalmanState | None = None,
+    *,
+    block: int = 256,
+    constrain: bool = True,
+) -> tuple[jax.Array, KalmanState]:
+    """Filter sequences: far spectra [T, K], mic blocks [T, B] -> e [T, B]."""
+    if state is None:
+        state = kalman_init(cfg, x_spec.shape[-1], dtype=x_spec.dtype)
+
+    def step(s, xd):
+        x_t, d_t = xd
+        s, e_t = kalman_step(cfg, s, x_t, d_t, block=block, constrain=constrain)
+        return s, e_t
+
+    state, e_blocks = jax.lax.scan(step, state, (x_spec, d_blocks))
+    return e_blocks, state
+
+
+def kalman_cancel(
+    cfg: KalmanConfig,
+    far: jax.Array,
+    mic: jax.Array,
+    *,
+    block: int = 256,
+    constrain: bool = True,
+) -> dict[str, jax.Array]:
+    """Waveform in/out canceller (BASELINE config #2). [n] or [B, n]."""
+    batched = far.ndim == 2
+    if not batched:
+        far, mic = far[None], mic[None]
+    n = mic.shape[-1]
+    farp = ols.pad_to_blocks(far, block)
+    micp = ols.pad_to_blocks(mic, block)
+    x_spec = ols.far_end_spectra(farp, block)
+    d_blocks = ols.mic_blocks(micp, block)
+
+    e_blocks, state = jax.vmap(
+        lambda x, d: kalman_filter(cfg, x, d, block=block, constrain=constrain)
+    )(x_spec, d_blocks)
+    wav = e_blocks.reshape(e_blocks.shape[0], -1)[:, :n]
+    if not batched:
+        wav = wav[0]
+    return {"wav": wav, "state": state}

@@ -1,0 +1,125 @@
+"""Stage-1 linear AEC: partitioned-block frequency-domain NLMS (MDF).
+
+NEW component — no implementation exists in the reference repo (SURVEY.md §0
+item 1); mandated by BASELINE.json config #1 ("Freq-domain NLMS linear AEC,
+512-pt STFT, hop 256" => block B=256, FFT N=512). Standard published
+algorithm (multidelay block frequency-domain adaptive filter, Soo & Pang
+1990) designed TPU-first:
+
+- the per-frame update is a pure function of a small state pytree; the frame
+  recursion is ``lax.scan`` with ALL frequency bins and ALL partitions
+  updated in parallel per step (VPU elementwise + one reduction over
+  partitions + two N=512 FFTs);
+- overlap-save structure models true linear convolution (high ERLE), with
+  the optional gradient constraint (exact MDF) on by default;
+- batching over utterances is ``jax.vmap``; multi-chip scale-out shards the
+  utterance axis (embarrassingly parallel).
+
+Per bin k:  y[t,k] = sum_l W[l,k] X[t-l,k];   e = d - last_B(ifft(y))
+            W[l,k] += mu * conj(X[t-l,k]) * E[k] / (p[k] + eps)
+"""
+
+from __future__ import annotations
+
+from typing import TypedDict
+
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.configs import NlmsConfig
+from aec_tpu.linear import overlap_save as ols
+
+
+class NlmsState(TypedDict):
+    w: jax.Array  # (L, K) complex64 — filter partitions per bin
+    x_buf: jax.Array  # (L, K) complex64 — far-end history, index 0 = newest
+    power: jax.Array  # (K,) float32 — smoothed total far-end power
+
+
+def nlms_init(cfg: NlmsConfig, n_freqs: int = 257, dtype=jnp.complex64) -> NlmsState:
+    return NlmsState(
+        w=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
+        x_buf=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
+        power=jnp.zeros((n_freqs,), dtype=jnp.float32),
+    )
+
+
+def nlms_step(
+    cfg: NlmsConfig,
+    state: NlmsState,
+    x_t: jax.Array,
+    d_t: jax.Array,
+    *,
+    block: int = 256,
+    constrain: bool = True,
+) -> tuple[NlmsState, jax.Array]:
+    """One block: far spectrum ``x_t`` [K], mic time block ``d_t`` [B].
+
+    Returns (new_state, e_block [B]) — the echo-cancelled time samples.
+    """
+    x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
+    inst_power = jnp.sum(jnp.real(x_buf) ** 2 + jnp.imag(x_buf) ** 2, axis=0)
+    power = cfg.power_smooth * state["power"] + (1.0 - cfg.power_smooth) * inst_power
+
+    y_spec = jnp.sum(state["w"] * x_buf, axis=0)  # (K,)
+    e_block = d_t - ols.spectrum_to_block(y_spec, block)  # (B,)
+    e_spec = ols.block_to_spectrum(e_block, block)  # (K,)
+
+    grad = jnp.conj(x_buf) * e_spec[None, :] / (power + cfg.eps)[None, :]
+    if constrain:
+        grad = ols.constrain_gradient(grad, block)
+    w = state["w"] + cfg.mu * grad
+    return NlmsState(w=w, x_buf=x_buf, power=power), e_block
+
+
+def nlms_filter(
+    cfg: NlmsConfig,
+    x_spec: jax.Array,
+    d_blocks: jax.Array,
+    state: NlmsState | None = None,
+    *,
+    block: int = 256,
+    constrain: bool = True,
+) -> tuple[jax.Array, NlmsState]:
+    """Filter sequences: far spectra [T, K], mic blocks [T, B] -> e [T, B]."""
+    if state is None:
+        state = nlms_init(cfg, x_spec.shape[-1], dtype=x_spec.dtype)
+
+    def step(s, xd):
+        x_t, d_t = xd
+        s, e_t = nlms_step(cfg, s, x_t, d_t, block=block, constrain=constrain)
+        return s, e_t
+
+    state, e_blocks = jax.lax.scan(step, state, (x_spec, d_blocks))
+    return e_blocks, state
+
+
+def nlms_cancel(
+    cfg: NlmsConfig,
+    far: jax.Array,
+    mic: jax.Array,
+    *,
+    block: int = 256,
+    constrain: bool = True,
+) -> dict[str, jax.Array]:
+    """Waveform in/out single-pair canceller (BASELINE config #1).
+
+    ``far``/``mic``: [n] or [B, n]. Returns echo-cancelled ``wav`` (same
+    length as input) plus the final filter state under ``state``.
+    """
+    batched = far.ndim == 2
+    if not batched:
+        far, mic = far[None], mic[None]
+    n = mic.shape[-1]
+    farp = ols.pad_to_blocks(far, block)
+    micp = ols.pad_to_blocks(mic, block)
+    x_spec = ols.far_end_spectra(farp, block)  # [B, T, K]
+    d_blocks = ols.mic_blocks(micp, block)  # [B, T, Bk]
+
+    e_blocks, state = jax.vmap(
+        lambda x, d: nlms_filter(cfg, x, d, block=block, constrain=constrain)
+    )(x_spec, d_blocks)
+    wav = e_blocks.reshape(e_blocks.shape[0], -1)[:, :n]
+    if not batched:
+        wav = wav[0]
+    return {"wav": wav, "state": state}
