@@ -1,0 +1,211 @@
+"""Streaming (frame-in / frame-out) two-stage AEC runtime.
+
+NEW subsystem mandated by the north star ("inference runs in streaming mode
+(frame-in/frame-out) and offline batch mode"); nothing comparable exists in
+the reference (SURVEY.md §5.7). Design:
+
+The offline stage-2 pipeline pads the signal by ``hop`` on both sides, so
+analysis frame t covers input blocks [t-1, t] and output block t needs
+synthesis frames t and t+1 (the OLA envelope is exactly periodic in the
+trimmed interior — see dsp/stft.py). A streaming step therefore:
+
+1. runs stage-1 (Kalman/NLMS, causal by construction) on the new 256-sample
+   block;
+2. forms analysis frame t = [prev_block || cur_block] (one matmul);
+3. advances the GRU one step and applies the ERB mask;
+4. emits output block t-1 = (tail(s_{t-1}) + head(s_t)) / env_period;
+
+carrying {stage-1 state, previous blocks, GRU h, synthesis tail}. Latency is
+exactly one block (hop/sr = 16 ms). ``flush`` feeds the implicit trailing
+zero block, emitting the final output block — making
+stream == offline BIT-CLOSE for any chunking (tested).
+
+Note: the reference model's global mean/std pseudo-norm (ERB.py:254-256) is
+non-causal and has no streaming equivalent; streaming runs un-normalized
+(= offline path with ``normalize=False``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Literal, TypedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aec_tpu.configs import KalmanConfig, NlmsConfig
+from aec_tpu.dsp.stft import (
+    StftConfig,
+    analysis_matrix,
+    synthesis_matrix,
+)
+from aec_tpu.dsp.windows import periodic_window
+from aec_tpu.linear import overlap_save as ols
+from aec_tpu.linear.kalman import kalman_init, kalman_step
+from aec_tpu.linear.nlms import nlms_init, nlms_step
+from aec_tpu.models.little_net import LittleNetParams
+from aec_tpu.ops.gru import gru_cell
+
+
+class StreamState(TypedDict):
+    stage1: Any  # KalmanState | NlmsState | None-like empty dict
+    prev_lin: jax.Array  # (hop,) previous stage-1 output block
+    prev_far: jax.Array  # (hop,) previous far-end block
+    gru_h: jax.Array  # (1, E)
+    syn_tail: jax.Array  # (hop,) second half of previous synthesis frame
+
+
+def _env_period(cfg: StftConfig) -> np.ndarray:
+    """Interior OLA envelope, periodic with period hop (win = 2*hop)."""
+    w2 = periodic_window(cfg.win_type, cfg.win_len) ** 2
+    return w2[: cfg.hop] + w2[cfg.hop :]
+
+
+def stream_init(
+    erb_bands: int = 32,
+    cfg: StftConfig = StftConfig(),
+    *,
+    stage1: Literal["kalman", "nlms", "none"] = "kalman",
+    lin_cfg=None,
+) -> StreamState:
+    if stage1 == "kalman":
+        s1 = kalman_init(lin_cfg or KalmanConfig(), cfg.n_freqs)
+    elif stage1 == "nlms":
+        s1 = nlms_init(lin_cfg or NlmsConfig(), cfg.n_freqs)
+    else:
+        s1 = {}
+    return StreamState(
+        stage1=s1,
+        prev_lin=jnp.zeros((cfg.hop,), jnp.float32),
+        prev_far=jnp.zeros((cfg.hop,), jnp.float32),
+        gru_h=jnp.zeros((1, erb_bands), jnp.float32),
+        syn_tail=jnp.zeros((cfg.hop,), jnp.float32),
+    )
+
+
+def _stage2_frame(
+    params: LittleNetParams,
+    lin_frame: jax.Array,  # (win,) stage-1 output samples for this frame
+    far_frame: jax.Array,  # (win,)
+    gru_h: jax.Array,  # (1, E)
+    erb: jax.Array,
+    cfg: StftConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """One analysis frame through LittleNet; returns (syn_frame, new_h)."""
+    a = analysis_matrix(cfg, dtype=lin_frame.dtype)
+    spec = lin_frame @ a  # (2K,)
+    far_spec = far_frame @ a
+    k = cfg.n_freqs
+    mag = jnp.sqrt(spec[:k] ** 2 + spec[k:] ** 2 + 1e-9)
+    far_mag = jnp.sqrt(far_spec[:k] ** 2 + far_spec[k:] ** 2 + 1e-9)
+    mic_erb = mag @ erb  # (E,)
+    ref_erb = far_mag @ erb
+    feats = jnp.concatenate([mic_erb, jnp.abs(mic_erb - ref_erb)])[None, :]
+    x_proj = feats @ params["gru"]["w_ih"].T + params["gru"]["b_ih"]
+    h = gru_cell(params["gru"], gru_h, x_proj)  # (1, E)
+    hid = jnp.concatenate([h[0], mic_erb])
+    hid = jax.nn.relu(hid @ params["lin1"]["w"].T + params["lin1"]["b"])
+    mask = jax.nn.sigmoid(hid @ params["lin2"]["w"].T + params["lin2"]["b"])
+    gain = (mask * mic_erb) @ erb.T  # (K,)
+    out_spec = jnp.concatenate([gain * spec[:k], gain * spec[k:]])
+    syn = out_spec @ synthesis_matrix(cfg, dtype=spec.dtype)  # (win,)
+    return syn, h
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stage1", "lin_cfg"))
+def stream_step(
+    params: LittleNetParams,
+    state: StreamState,
+    far_block: jax.Array,  # (hop,)
+    mic_block: jax.Array,  # (hop,)
+    erb: jax.Array,
+    cfg: StftConfig = StftConfig(),
+    *,
+    stage1: Literal["kalman", "nlms", "none"] = "kalman",
+    lin_cfg=None,
+) -> tuple[StreamState, jax.Array]:
+    """Consume one hop of far/mic; emit one hop of enhanced audio.
+
+    The emitted block lags the input by one hop (algorithmic latency 16 ms).
+    The VERY FIRST emitted block is the offline path's trimmed left edge and
+    must be discarded by the caller (see ``stream_run``).
+    """
+    # Stage 1 (causal, block-native).
+    if stage1 == "kalman":
+        x_t = jnp.fft.rfft(jnp.concatenate([state["prev_far"], far_block]))
+        s1, lin_block = kalman_step(
+            lin_cfg or KalmanConfig(), state["stage1"], x_t, mic_block, block=cfg.hop
+        )
+    elif stage1 == "nlms":
+        x_t = jnp.fft.rfft(jnp.concatenate([state["prev_far"], far_block]))
+        s1, lin_block = nlms_step(
+            lin_cfg or NlmsConfig(), state["stage1"], x_t, mic_block, block=cfg.hop
+        )
+    else:
+        s1, lin_block = state["stage1"], mic_block
+
+    # Stage 2: frame t = [prev_lin || lin_block].
+    lin_frame = jnp.concatenate([state["prev_lin"], lin_block])
+    far_frame = jnp.concatenate([state["prev_far"], far_block])
+    syn, h = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
+
+    env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
+    out_block = (state["syn_tail"] + syn[: cfg.hop]) / (env + 1e-8) + 1e-9
+
+    new_state = StreamState(
+        stage1=s1,
+        prev_lin=lin_block,
+        prev_far=far_block,
+        gru_h=h,
+        syn_tail=syn[cfg.hop :],
+    )
+    return new_state, out_block
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stream_flush(
+    params: LittleNetParams,
+    state: StreamState,
+    erb: jax.Array,
+    cfg: StftConfig = StftConfig(),
+) -> jax.Array:
+    """End of stream: process the implicit trailing zero block (the offline
+    path's right pad) and emit the final output block."""
+    zero = jnp.zeros((cfg.hop,), jnp.float32)
+    lin_frame = jnp.concatenate([state["prev_lin"], zero])
+    far_frame = jnp.concatenate([state["prev_far"], zero])
+    syn, _ = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
+    env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
+    return (state["syn_tail"] + syn[: cfg.hop]) / (env + 1e-8) + 1e-9
+
+
+def stream_run(
+    params: LittleNetParams,
+    far: np.ndarray,
+    mic: np.ndarray,
+    erb: jax.Array,
+    cfg: StftConfig = StftConfig(),
+    *,
+    stage1: Literal["kalman", "nlms", "none"] = "kalman",
+    lin_cfg=None,
+    erb_bands: int = 32,
+) -> np.ndarray:
+    """Host convenience: run a whole utterance hop-by-hop (n % hop == 0)."""
+    state = stream_init(erb_bands, cfg, stage1=stage1, lin_cfg=lin_cfg)
+    outs = []
+    for lo in range(0, len(mic), cfg.hop):
+        state, out = stream_step(
+            params,
+            state,
+            jnp.asarray(far[lo : lo + cfg.hop]),
+            jnp.asarray(mic[lo : lo + cfg.hop]),
+            erb,
+            cfg,
+            stage1=stage1,
+            lin_cfg=lin_cfg,
+        )
+        outs.append(np.asarray(out))
+    outs.append(np.asarray(stream_flush(params, state, erb, cfg)))
+    # the first emitted block is the offline path's trimmed left edge — drop it
+    return np.concatenate(outs)[cfg.hop :]

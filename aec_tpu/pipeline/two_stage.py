@@ -1,0 +1,64 @@
+"""Two-stage AEC composition: stage-1 linear canceller -> stage-2 post-filter.
+
+The north star's full pipeline (BASELINE.json config #5): partitioned-block
+Kalman (or NLMS) removes the linear echo, then LittleNet suppresses the
+residual. The reference only ships stage-2 and assumes stage-1 ran offline
+(SURVEY.md §0 item 1); here the composition is one jittable device function,
+batched over utterances, so 10k-utterance runs are a vmap + data-parallel
+shard away.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+
+from aec_tpu.configs import KalmanConfig, NlmsConfig
+from aec_tpu.dsp.stft import StftConfig
+from aec_tpu.linear.kalman import kalman_cancel
+from aec_tpu.linear.nlms import nlms_cancel
+from aec_tpu.models.little_net import LittleNetParams, little_net_apply
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stage1", "scfg", "lin_cfg", "normalize")
+)
+def two_stage_cancel(
+    params: LittleNetParams,
+    far: jax.Array,
+    mic: jax.Array,
+    erb: jax.Array,
+    *,
+    stage1: Literal["kalman", "nlms", "none"] = "kalman",
+    lin_cfg: KalmanConfig | NlmsConfig | None = None,
+    scfg: StftConfig = StftConfig(),
+    normalize: bool = False,
+) -> dict[str, jax.Array]:
+    """far/mic wav [n] or [B, n] -> enhanced wav (same shape).
+
+    ``normalize`` applies LittleNet's global pseudo-norm to its inputs (the
+    reference trains that way; for enhancement-only runs the default False
+    keeps the pipeline causal-equivalent to the streaming runtime).
+
+    Returns dict with ``wav`` (final), ``linear_wav`` (stage-1 output), and
+    the stage-2 ``mask``.
+    """
+    if stage1 == "kalman":
+        lin = kalman_cancel(lin_cfg or KalmanConfig(), far, mic, block=scfg.hop)
+        linear_wav = lin["wav"]
+    elif stage1 == "nlms":
+        lin = nlms_cancel(lin_cfg or NlmsConfig(), far, mic, block=scfg.hop)
+        linear_wav = lin["wav"]
+    else:
+        linear_wav = mic
+
+    batched = linear_wav.ndim == 2
+    lw = linear_wav if batched else linear_wav[None]
+    fw = far if batched else far[None]
+    out = little_net_apply(params, lw, fw, erb, scfg, normalize=normalize)
+    wav, mask = out["wav"], out["mask"]
+    if not batched:
+        wav, mask = wav[0], mask[0]
+    return {"wav": wav, "linear_wav": linear_wav, "mask": mask}

@@ -1,0 +1,72 @@
+"""Streaming == offline equivalence (SURVEY §7.3 'hard parts' item 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.configs import KalmanConfig
+from aec_tpu.dsp.erb import erb_filterbank
+from aec_tpu.dsp.stft import StftConfig
+from aec_tpu.models.little_net import little_net_apply, little_net_init
+from aec_tpu.pipeline.streaming import stream_run
+from aec_tpu.pipeline.two_stage import two_stage_cancel
+
+CFG = StftConfig()
+
+
+def _scene(rng, n):
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(600) / 100.0) * rng.standard_normal(600)).astype(np.float32)
+    echo = np.convolve(far, 0.4 * rir)[:n].astype(np.float32)
+    near = 0.3 * rng.standard_normal(n).astype(np.float32)
+    return far, (echo + near).astype(np.float32)
+
+
+def test_stage2_streaming_equals_offline(rng):
+    params = little_net_init(jax.random.PRNGKey(7))
+    erb = jnp.asarray(erb_filterbank())
+    n = 16 * 256
+    far, mic = _scene(rng, n)
+
+    offline = little_net_apply(
+        params, jnp.asarray(mic)[None], jnp.asarray(far)[None], erb, CFG,
+        normalize=False,
+    )["wav"][0]
+    streamed = stream_run(params, far, mic, erb, CFG, stage1="none")
+    assert streamed.shape == (n,)
+    # fp32 scan-vs-step recurrence drift bounded at ~1e-3 of signal scale
+    scale = float(np.max(np.abs(np.asarray(offline))))
+    np.testing.assert_allclose(streamed, np.asarray(offline), atol=2e-3 * scale)
+
+
+def test_two_stage_streaming_equals_offline(rng):
+    params = little_net_init(jax.random.PRNGKey(8))
+    erb = jnp.asarray(erb_filterbank())
+    n = 24 * 256
+    far, mic = _scene(rng, n)
+    kcfg = KalmanConfig()
+
+    offline = two_stage_cancel(
+        params, jnp.asarray(far), jnp.asarray(mic), erb,
+        stage1="kalman", lin_cfg=kcfg, scfg=CFG, normalize=False,
+    )["wav"]
+    streamed = stream_run(params, far, mic, erb, CFG, stage1="kalman", lin_cfg=kcfg)
+    scale = float(np.max(np.abs(np.asarray(offline))))
+    np.testing.assert_allclose(streamed, np.asarray(offline), atol=2e-3 * scale)
+
+
+def test_two_stage_reduces_echo(rng):
+    # echo-only scene: the full pipeline should attenuate substantially
+    params = little_net_init(jax.random.PRNGKey(9))
+    erb = jnp.asarray(erb_filterbank())
+    n = 8 * 16384
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(600) / 100.0) * rng.standard_normal(600)).astype(np.float32)
+    mic = np.convolve(far, 0.4 * rir)[:n].astype(np.float32)
+    out = two_stage_cancel(params, jnp.asarray(far), jnp.asarray(mic), erb)
+    lin = np.asarray(out["linear_wav"])
+    tail = slice(-16384, None)
+    from aec_tpu.train.metrics import erle
+
+    lin_erle = float(erle(jnp.asarray(mic[tail]), jnp.asarray(lin[tail])))
+    assert lin_erle > 25.0
