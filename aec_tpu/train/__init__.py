@@ -1,3 +1,3 @@
-from aec_tpu.train import metrics
+from aec_tpu.train import metrics, checkpoints, loop
 
-__all__ = ["metrics"]
+__all__ = ["metrics", "checkpoints", "loop"]

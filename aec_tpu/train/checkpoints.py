@@ -1,0 +1,91 @@
+"""Pickle-free pytree checkpoints with latest/best semantics.
+
+Replaces the reference's whole-object ``torch.save(self, ...)`` pickles
+(tools.py:65-82) with npz + json: portable, class-independent, and written
+atomically (tmp + rename) so a preempted step never corrupts the latest
+checkpoint (SURVEY §5.3/§5.4 recommends atomic writes; the reference has no
+such protection).
+
+Layout per checkpoint file ``<name>.npz``: flattened leaves keyed "leaf_<i>"
+in tree-flatten order, plus ``<name>.json`` carrying ``ckpt_info``.
+Restoring requires a structural template (e.g. freshly-initialized params /
+opt_state) — standard functional-JAX practice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import jax
+import numpy as np
+
+
+def save(path: str, tree, ckpt_info: dict | None = None) -> None:
+    """Atomically write ``tree`` to ``path`` (.npz) (+ .json sidecar)."""
+    leaves = jax.tree.leaves(tree)
+    payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    if ckpt_info is not None:
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+        os.close(fd)
+        with open(tmp, "w") as f:
+            json.dump(ckpt_info, f, indent=2, sort_keys=True)
+        os.replace(tmp, _info_path(path))
+
+
+def restore(path: str, template):
+    """Load leaves from ``path`` into the structure of ``template``."""
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    with np.load(path) as data:
+        leaves, treedef = jax.tree.flatten(template)
+        if len(data.files) != len(leaves):
+            raise ValueError(
+                f"checkpoint has {len(data.files)} leaves, template has {len(leaves)}"
+            )
+        new_leaves = [
+            jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
+        ]
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def load_info(path: str) -> dict:
+    p = _info_path(path)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _info_path(path: str) -> str:
+    return os.path.splitext(path)[0] + ".json"
+
+
+def save_latest_best(
+    ckpt_dir: str, tree, ckpt_info: dict, is_best: bool, best_name: str = "best_loss"
+) -> str:
+    """Reference cadence (train1.py:252-278): always write ``latest``, copy
+    to ``best_<metric>`` when the validation metric improved."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    latest = os.path.join(ckpt_dir, "latest.npz")
+    save(latest, tree, ckpt_info)
+    if is_best:
+        best = os.path.join(ckpt_dir, f"{best_name}.npz")
+        shutil.copyfile(latest, best)
+        info = _info_path(latest)
+        if os.path.exists(info):
+            shutil.copyfile(info, _info_path(best))
+    return latest

@@ -1,0 +1,69 @@
+"""Multi-chip data-parallel tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.configs import TrainConfig
+from aec_tpu.dsp.erb import erb_filterbank
+from aec_tpu.models.little_net import little_net_init, little_net_loss
+from aec_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from aec_tpu.train.loop import make_optimizer, make_train_step
+
+
+def test_mesh_construction(cpu_devices):
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    assert mesh.shape["model"] == 1
+
+
+def test_sharded_train_step_matches_single_device(cpu_devices, rng):
+    b, n = 8, 4096
+    mic = rng.standard_normal((b, n)).astype(np.float32)
+    ref = rng.standard_normal((b, n)).astype(np.float32)
+    near = (0.2 * rng.standard_normal((b, n))).astype(np.float32)
+    erb = jnp.asarray(erb_filterbank())
+    params = little_net_init(jax.random.PRNGKey(0))
+    cfg = TrainConfig(lr=1e-3)
+    opt = make_optimizer(cfg, steps_per_epoch=100)
+
+    # single-device reference step
+    p1 = jax.tree.map(jnp.copy, params)
+    step1 = make_train_step(little_net_loss, opt)
+    p1, _, loss1 = step1(p1, opt.init(p1), jnp.asarray(mic), jnp.asarray(ref), jnp.asarray(near), erb)
+
+    # 8-way data-parallel step
+    mesh = make_mesh()
+    p8 = jax.tree.map(jnp.copy, params)
+    step8 = make_train_step(little_net_loss, opt, mesh)
+    batch = shard_batch(mesh, {"mic": mic, "ref": ref, "near": near})
+    p8, _, loss8 = step8(p8, opt.init(p8), batch["mic"], batch["ref"], batch["near"], erb)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    # params after one Adam step: grad all-reduce order can flip the sign of
+    # near-zero grads through Adam's rescale, so bound by the update scale
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3 * cfg.lr)
+
+
+def test_batch_inference_sharded(cpu_devices, rng):
+    # embarrassingly-parallel utterance sharding for batch inference
+    from aec_tpu.models.little_net import little_net_apply
+
+    mesh = make_mesh()
+    erb = jnp.asarray(erb_filterbank())
+    params = little_net_init(jax.random.PRNGKey(1))
+    mic = rng.standard_normal((16, 4096)).astype(np.float32)
+    ref = rng.standard_normal((16, 4096)).astype(np.float32)
+
+    fn = jax.jit(
+        lambda p, m, r: little_net_apply(p, m, r, erb, normalize=False)["wav"],
+        in_shardings=(replicated(mesh), data_sharding(mesh), data_sharding(mesh)),
+        out_shardings=data_sharding(mesh),
+    )
+    wav = fn(params, jnp.asarray(mic), jnp.asarray(ref))
+    assert wav.shape == (16, 4096)
+    single = little_net_apply(
+        params, jnp.asarray(mic[:1]), jnp.asarray(ref[:1]), erb, normalize=False
+    )["wav"]
+    np.testing.assert_allclose(np.asarray(wav[0]), np.asarray(single[0]), rtol=1e-4, atol=1e-3)
