@@ -1,0 +1,86 @@
+"""Headline benchmark: realtime factor (xRT) of the full two-stage AEC.
+
+Runs the flagship pipeline — stage-1 partitioned-block frequency-domain
+Kalman + stage-2 LittleNet post-filter — over a batch of 16 kHz utterances
+on one chip, and reports audio-seconds processed per wall-second.
+
+Timing notes: each timed iteration uses DISTINCT input buffers and the
+result is reduced to a scalar fetched to host (under this image's axon
+relay, ``block_until_ready`` alone can return before remote execution
+finishes and identical executions may be memoized).
+
+Prints ONE JSON line:
+  {"metric": "two_stage_xrt_per_chip", "value": <xRT>, "unit": "x_realtime",
+   "vs_baseline": <xRT / 1000>}
+``vs_baseline`` is the ratio against the north-star target of 1000x realtime
+per chip (BASELINE.json; the reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from aec_tpu.configs import KalmanConfig
+    from aec_tpu.dsp.erb import erb_filterbank
+    from aec_tpu.dsp.stft import StftConfig
+    from aec_tpu.linear.kalman import kalman_cancel
+    from aec_tpu.models.little_net import little_net_apply, little_net_init
+
+    sr = 16000
+    batch = 256
+    n = 128 * 1024  # 8.19 s per utterance, 512 blocks of 256
+    scfg = StftConfig()
+    kcfg = KalmanConfig()
+
+    params = little_net_init(jax.random.PRNGKey(0))
+    erb = jnp.asarray(erb_filterbank())
+
+    @jax.jit
+    def pipeline(params, far, mic, erb):
+        lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
+        wav = little_net_apply(params, lin, far, erb, scfg, normalize=False)["wav"]
+        return jnp.sum(wav)  # scalar readback forces completion
+
+    rng = np.random.default_rng(0)
+    iters = 4
+    fars = [
+        jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+        for _ in range(iters + 1)
+    ]
+    mics = [
+        jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+        for _ in range(iters + 1)
+    ]
+
+    float(pipeline(params, fars[-1], mics[-1], erb))  # compile + warmup
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        float(pipeline(params, fars[i], mics[i], erb))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    audio_seconds = batch * n / sr
+    xrt = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "two_stage_xrt_per_chip",
+                "value": round(xrt, 1),
+                "unit": "x_realtime",
+                "vs_baseline": round(xrt / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
