@@ -1,0 +1,55 @@
+"""Training CLI (reference: scripts/train1.py:349-391 arg surface).
+
+  python -m aec_tpu.cli.train --tr_list lists/tr_list.txt --cv_file cv.ex \
+      --ckpt_dir exp [--resume_model exp/models/latest.npz] [--mesh]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pprint
+
+from aec_tpu.configs import TrainConfig
+from aec_tpu.pipeline.h5io import read_filelist
+from aec_tpu.train.loop import Trainer
+from aec_tpu.utils.tools import get_logger
+
+logger = get_logger(__name__)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description="Train the stage-2 post-filter",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--tr_list", type=str, required=True, help="training .ex filelist")
+    p.add_argument("--cv_file", type=str, required=True, help="grouped cv .ex file")
+    p.add_argument("--ckpt_dir", type=str, required=True)
+    p.add_argument("--time_log", type=str, default="")
+    p.add_argument("--loss_log", type=str, default="loss.txt")
+    p.add_argument("--resume_model", type=str, default="")
+    p.add_argument("--mesh", action="store_true", help="shard batches over all chips")
+    p.add_argument("--lr", type=float, default=TrainConfig.lr)
+    p.add_argument("--batch_size", type=int, default=TrainConfig.batch_size)
+    p.add_argument("--max_n_epochs", type=int, default=TrainConfig.max_n_epochs)
+    args = p.parse_args(argv)
+    logger.info("Arguments:\n%s", pprint.pformat(vars(args)))
+
+    cfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, max_n_epochs=args.max_n_epochs
+    )
+    trainer = Trainer(
+        tr_list=read_filelist(args.tr_list),
+        cv_file=args.cv_file,
+        ckpt_dir=args.ckpt_dir,
+        cfg=cfg,
+        resume_model=args.resume_model,
+        time_log=args.time_log,
+        loss_log_name=args.loss_log,
+        use_mesh=args.mesh,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,10 +6,10 @@ atomically (tmp + rename) so a preempted step never corrupts the latest
 checkpoint (SURVEY §5.3/§5.4 recommends atomic writes; the reference has no
 such protection).
 
-Layout per checkpoint file ``<name>.npz``: flattened leaves keyed "leaf_<i>"
-in tree-flatten order, plus ``<name>.json`` carrying ``ckpt_info``.
-Restoring requires a structural template (e.g. freshly-initialized params /
-opt_state) — standard functional-JAX practice.
+Leaves are stored keyed by their TREE PATH (e.g. ``['params']['gru']['w_ih']``),
+so restoring works for any structural subset: an inference tool can restore
+just ``{"params": ...}`` from a checkpoint that also carries the optimizer
+state. ``<name>.json`` sidecar carries ``ckpt_info``.
 """
 
 from __future__ import annotations
@@ -23,10 +23,14 @@ import jax
 import numpy as np
 
 
+def _flatten_with_keys(tree) -> list[tuple[str, np.ndarray]]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [(jax.tree_util.keystr(path), leaf) for path, leaf in flat]
+
+
 def save(path: str, tree, ckpt_info: dict | None = None) -> None:
     """Atomically write ``tree`` to ``path`` (.npz) (+ .json sidecar)."""
-    leaves = jax.tree.leaves(tree)
-    payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    payload = {k: np.asarray(v) for k, v in _flatten_with_keys(tree)}
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
@@ -47,19 +51,23 @@ def save(path: str, tree, ckpt_info: dict | None = None) -> None:
 
 
 def restore(path: str, template):
-    """Load leaves from ``path`` into the structure of ``template``."""
+    """Load leaves from ``path`` into the structure of ``template``.
+
+    Every leaf path present in ``template`` must exist in the checkpoint;
+    extra checkpoint entries (e.g. optimizer state when restoring params
+    only) are ignored.
+    """
     if not os.path.isfile(path):
         raise FileNotFoundError(f"no checkpoint at {path}")
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     with np.load(path) as data:
-        leaves, treedef = jax.tree.flatten(template)
-        if len(data.files) != len(leaves):
-            raise ValueError(
-                f"checkpoint has {len(data.files)} leaves, template has {len(leaves)}"
-            )
-        new_leaves = [
-            jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
-        ]
-    return jax.tree.unflatten(treedef, new_leaves)
+        new_leaves = []
+        for key_path, leaf in flat:
+            key = jax.tree_util.keystr(key_path)
+            if key not in data:
+                raise KeyError(f"checkpoint {path} is missing leaf {key}")
+            new_leaves.append(jax.numpy.asarray(data[key]))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 def load_info(path: str) -> dict:

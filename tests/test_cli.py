@@ -1,0 +1,86 @@
+"""End-to-end CLI tests: prepare_data -> train -> infer -> measure."""
+
+import os
+
+import numpy as np
+
+from aec_tpu.cli import infer, measure, prepare_data, train as train_cli
+from aec_tpu.pipeline import h5io
+from aec_tpu.pipeline.audio_io import read_wav, write_wav
+from aec_tpu.train.stoi import stoi
+
+
+def _make_wavs(wav_dir, rng, n_utts=2, n=8192):
+    os.makedirs(wav_dir, exist_ok=True)
+    for i in range(n_utts):
+        fid = f"{i:03d}"
+        far = rng.standard_normal(n).astype(np.float32)
+        rir = (np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)).astype(np.float32)
+        echo = np.convolve(far, 0.3 * rir)[:n].astype(np.float32)
+        near = (0.2 * rng.standard_normal(n)).astype(np.float32)
+        write_wav(os.path.join(wav_dir, f"nearend_speech_fileid_{fid}.wav"), near, 16000)
+        write_wav(os.path.join(wav_dir, f"nearend_mic_fileid_{fid}.wav"), near + echo, 16000)
+        write_wav(os.path.join(wav_dir, f"farend_speech_fileid_{fid}.wav"), far, 16000)
+        write_wav(os.path.join(wav_dir, f"echo_fileid_{fid}.wav"), echo, 16000)
+
+
+def test_full_cli_flow(tmp_path, rng, capsys):
+    wav_dir = str(tmp_path / "wavs")
+    h5_dir = str(tmp_path / "h5")
+    lists = str(tmp_path / "lists")
+    _make_wavs(wav_dir, rng)
+
+    # pack all three splits
+    prepare_data.main(["train", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    prepare_data.main(["test", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    prepare_data.main(["val", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    assert len(h5io.read_filelist(os.path.join(lists, "tr_list.txt"))) == 2
+    assert h5io.group_count(os.path.join(h5_dir, "test.ex")) == 2
+    assert h5io.group_count(os.path.join(h5_dir, "test2.ex")) == 2
+    assert h5io.read_filelist(os.path.join(lists, "filename.txt")) == ["000", "001"]
+
+    # one-epoch training
+    ckpt_dir = str(tmp_path / "exp")
+    train_cli.main([
+        "--tr_list", os.path.join(lists, "tr_list.txt"),
+        "--cv_file", os.path.join(h5_dir, "test.ex"),
+        "--ckpt_dir", ckpt_dir,
+        "--batch_size", "2", "--max_n_epochs", "1",
+    ])
+    model = os.path.join(ckpt_dir, "models", "best_loss.npz")
+    assert os.path.isfile(model)
+
+    # inference writes the 5-wav contract
+    est = str(tmp_path / "est")
+    infer.main([
+        "--tt_list", os.path.join(lists, "tt_list.txt"),
+        "--ckpt_dir", ckpt_dir, "--model_file", model,
+        "--est_path", est, "--stage1", "kalman",
+    ])
+    sub = os.path.join(est, "test")
+    for k in range(2):
+        for stem in ("near_est", "near", "far", "mic", "echo"):
+            assert os.path.isfile(os.path.join(sub, f"{k}_{stem}.wav"))
+    est_wav, sr = read_wav(os.path.join(sub, "0_near_est.wav"))
+    assert sr == 16000 and est_wav.shape == (8192,)
+
+    # metric CLI runs and reports means
+    measure.main(["--est_dir", sub, "--metrics", "sisnr,erle,snr"])
+    out = capsys.readouterr().out
+    assert '"mean"' in out and '"erle"' in out
+
+
+def test_stoi_properties(rng):
+    t = np.arange(32000) / 16000.0
+    # modulated tone stack ~ speech-ish envelope
+    clean = (np.sin(2 * np.pi * 400 * t) + 0.5 * np.sin(2 * np.pi * 1200 * t)) * (
+        0.6 + 0.4 * np.sin(2 * np.pi * 4 * t)
+    )
+    clean = clean.astype(np.float32)
+    s_self = stoi(clean, clean)
+    assert s_self > 0.99
+    noisy_light = clean + 0.1 * rng.standard_normal(len(clean)).astype(np.float32)
+    noisy_heavy = clean + 2.0 * rng.standard_normal(len(clean)).astype(np.float32)
+    s_light, s_heavy = stoi(clean, noisy_light), stoi(clean, noisy_heavy)
+    assert s_self >= s_light >= s_heavy
+    assert s_heavy < 0.8
