@@ -1,0 +1,88 @@
+"""LSTM as a ``lax.scan`` with torch-compatible parameters.
+
+Used by the DCCRN bottleneck (reference dccrn.py:517,560-566) and the
+complex-LSTM stack (dccrn.py:423-450). Same design as ops/gru.py: the input
+projection for all frames is hoisted into one MXU matmul; the scan body only
+carries the O(H^2) recurrent work.
+
+Gate math/layout (torch semantics), rows ordered [i; f; g; o]:
+    i = sigmoid(x W_ii^T + b_ii + h W_hi^T + b_hi)
+    f = sigmoid(...); g = tanh(...); o = sigmoid(...)
+    c' = f * c + i * g;   h' = o * tanh(c')
+"""
+
+from __future__ import annotations
+
+from typing import TypedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LstmParams(TypedDict):
+    w_ih: jax.Array  # (4H, I)
+    w_hh: jax.Array  # (4H, H)
+    b_ih: jax.Array  # (4H,)
+    b_hh: jax.Array  # (4H,)
+
+
+def lstm_init(key: jax.Array, input_dim: int, hidden: int, dtype=jnp.float32) -> LstmParams:
+    """torch default init: U(-1/sqrt(H), 1/sqrt(H)) everywhere."""
+    ks = jax.random.split(key, 4)
+    bound = 1.0 / np.sqrt(hidden)
+    u = lambda k, shape: jax.random.uniform(k, shape, dtype, -bound, bound)
+    return LstmParams(
+        w_ih=u(ks[0], (4 * hidden, input_dim)),
+        w_hh=u(ks[1], (4 * hidden, hidden)),
+        b_ih=u(ks[2], (4 * hidden,)),
+        b_hh=u(ks[3], (4 * hidden,)),
+    )
+
+
+def lstm_cell(params: LstmParams, h, c, x_proj):
+    gates = x_proj + jnp.matmul(h, params["w_hh"].T) + params["b_hh"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c_next = f * c + i * g
+    h_next = o * jnp.tanh(c_next)
+    return h_next, c_next
+
+
+def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None):
+    """[B, T, I] -> ([B, T, H], (h_T, c_T))."""
+    b, t, _ = x.shape
+    hidden = params["w_hh"].shape[-1]
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), dtype=x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((b, hidden), dtype=x.dtype)
+    x_proj = jnp.matmul(x, params["w_ih"].T) + params["b_ih"]
+
+    def step(carry, xp_t):
+        h, c = carry
+        h, c = lstm_cell(params, h, c, xp_t)
+        return (h, c), h
+
+    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
+
+
+def complex_lstm_init(key, input_dim: int, hidden: int, dtype=jnp.float32):
+    """'Naive' complex LSTM (dccrn.py:423-450): separate real/imag LSTMs of
+    half width, cross-combined as (r2r - i2i, i2r + r2i)."""
+    k_r, k_i = jax.random.split(key)
+    return {
+        "real": lstm_init(k_r, input_dim // 2, hidden // 2, dtype),
+        "imag": lstm_init(k_i, input_dim // 2, hidden // 2, dtype),
+    }
+
+
+def complex_lstm_scan(params, real: jax.Array, imag: jax.Array):
+    """([B,T,I/2], [B,T,I/2]) -> ([B,T,H/2], [B,T,H/2])."""
+    r2r, _ = lstm_scan(params["real"], real)
+    r2i, _ = lstm_scan(params["imag"], real)
+    i2r, _ = lstm_scan(params["real"], imag)
+    i2i, _ = lstm_scan(params["imag"], imag)
+    return r2r - i2i, i2r + r2i
