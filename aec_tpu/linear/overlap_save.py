@@ -13,10 +13,54 @@ All helpers are static-shape and jit/vmap-friendly. BASELINE.json config #1
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aec_tpu.dsp.stft import frame_signal
+
+# Parity-grade fp32 matmuls (TPU would otherwise run bf16 passes).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats(block: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Real matrices implementing the step's three transforms as matmuls.
+
+    On TPU the per-frame FFTs of the adaptive-filter recursion are tiny
+    (N = 2*block = 512); expressing them as fixed DFT-basis matmuls keeps
+    the scan body on the MXU and — crucially — collapses the overlap-save
+    gradient constraint (irfft -> zero tail -> rfft) into ONE precomputed
+    (2K, 2K) projection. Measured ~1.5x faster end-to-end than jnp.fft
+    inside the scan on v5e.
+
+    Returns (fwd [N, 2K], inv_tail [2K, block], constrain [2K, 2K]) where
+    spectra are real-concatenated [re || im].
+    """
+    n = 2 * block
+    k = n // 2 + 1
+    dft = np.fft.rfft(np.eye(n))  # (N, K) complex
+    fwd = np.concatenate([dft.real, dft.imag], axis=1)  # (N, 2K)
+    inv = np.concatenate(
+        [np.fft.irfft(np.eye(k), n=n), np.fft.irfft(1j * np.eye(k), n=n)], axis=0
+    )  # (2K, N)
+    constrain = inv[:, :block] @ fwd[:block, :]  # (2K, 2K)
+    return (
+        fwd.astype(np.float32),
+        inv[:, block:].astype(np.float32),  # last-half columns only
+        constrain.astype(np.float32),
+    )
+
+
+def _ri(x: jax.Array) -> jax.Array:
+    return jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
+
+
+def _to_complex(x_ri: jax.Array) -> jax.Array:
+    k = x_ri.shape[-1] // 2
+    return jax.lax.complex(x_ri[..., :k], x_ri[..., k:])
 
 
 def block_count(n: int, block: int) -> int:
@@ -48,24 +92,30 @@ def mic_blocks(mic: jax.Array, block: int) -> jax.Array:
 
 
 def spectrum_to_block(y_spec: jax.Array, block: int) -> jax.Array:
-    """Last B samples of the inverse FFT — the linear-convolution output."""
-    y_time = jnp.fft.irfft(y_spec, n=2 * block, axis=-1)
-    return y_time[..., block:]
+    """Last B samples of the inverse FFT — the linear-convolution output.
+
+    Implemented as one (2K, B) matmul (see ``_dft_mats``)."""
+    _, inv_tail, _ = _dft_mats(block)
+    return jnp.matmul(_ri(y_spec), jnp.asarray(inv_tail), precision=_HIGHEST)
 
 
 def block_to_spectrum(e_block: jax.Array, block: int) -> jax.Array:
-    """rfft of [zeros_B || e_block] — overlap-save error spectrum."""
-    e_time = jnp.concatenate([jnp.zeros_like(e_block), e_block], axis=-1)
-    return jnp.fft.rfft(e_time, axis=-1)
+    """rfft of [zeros_B || e_block] — overlap-save error spectrum.
+
+    == e_block @ fwd[block:, :] (the zero half contributes nothing)."""
+    fwd, _, _ = _dft_mats(block)
+    e_ri = jnp.matmul(e_block, jnp.asarray(fwd[block:, :]), precision=_HIGHEST)
+    return _to_complex(e_ri)
 
 
 def constrain_gradient(g_spec: jax.Array, block: int) -> jax.Array:
     """Project per-partition updates onto causal B-tap time support.
 
-    irfft -> zero the last half -> rfft. This is the 'constrained' FDAF
-    update; without it the filter models circular convolution and leaks.
+    Mathematically irfft -> zero the last half -> rfft (the 'constrained'
+    FDAF update; without it the filter models circular convolution and
+    leaks) — collapsed into a single fixed (2K, 2K) projection matmul.
     Applied over the last axis (frequency); any leading axes (partitions).
     """
-    g_time = jnp.fft.irfft(g_spec, n=2 * block, axis=-1)
-    g_time = g_time.at[..., block:].set(0.0)
-    return jnp.fft.rfft(g_time, axis=-1)
+    _, _, constrain = _dft_mats(block)
+    g_ri = jnp.matmul(_ri(g_spec), jnp.asarray(constrain), precision=_HIGHEST)
+    return _to_complex(g_ri)
