@@ -39,6 +39,11 @@ def profile_model(name: str, n: int = 16384, batch: int = 1) -> dict:
         fn = lambda p, m: spec.apply(p, m)["wav"]
         cost = flops(fn, params, mic)
         count = num_params(params)
+    elif name == "fullsubnet":
+        params = spec.init(key)
+        fn = lambda p, m, f: spec.apply(p, m, f)["wav"]
+        cost = flops(fn, params, mic, far)
+        count = num_params(params)
     else:
         params = spec.init(key)
         erb = jnp.asarray(erb_filterbank())

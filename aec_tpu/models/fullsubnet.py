@@ -1,0 +1,164 @@
+"""FullSubNet-style dual-mask AEC model (full-band + sub-band LSTMs).
+
+The reference's alternative driver (scripts/models.py) trains/evaluates a
+``FullSubNet`` whose module is MISSING from its tree (imports nonexistent
+``utils.fullsubnet``; SURVEY §2.3) — only the contract survives:
+
+- STFT 320/160 (models.py:116), mel filterbank option (models.py:117);
+- training: net(mic, ref, fbank) -> complex spectrum, MSE vs near complex
+  spectrum (models.py:192-197);
+- inference: dual masks ``mask_near, mask_echo = net(stack([mic_mag,
+  ref_mag]))`` applied multiplicatively with mic phase (models.py:417-443).
+
+This is a working TPU-native realization in the published FullSubNet
+structure (Hao et al., ICASSP 2021): a full-band LSTM over the whole
+magnitude spectrum emits a per-bin embedding; a SHARED sub-band LSTM runs
+per frequency bin over [local neighborhood || full-band embedding]
+(vmapped over bins — 161 independent scans batched into one), emitting the
+two masks. Mic + far-end magnitudes are the input pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.dsp import stft as stft_mod
+from aec_tpu.dsp.stft import StftConfig, split_complex
+from aec_tpu.ops.lstm import lstm_init, lstm_scan
+
+
+@dataclasses.dataclass(frozen=True)
+class FullSubNetConfig:
+    stft: StftConfig = StftConfig(win_len=320, hop=160, fft_len=320)
+    fb_hidden: int = 256
+    sb_hidden: int = 96
+    neighborhood: int = 5  # sub-band context: +-neighborhood bins
+
+    @property
+    def n_freqs(self) -> int:
+        return self.stft.n_freqs  # 161
+
+    @property
+    def sb_input(self) -> int:
+        # per bin: mic neighborhood + far neighborhood + fb embedding
+        return 2 * (2 * self.neighborhood + 1) + 1
+
+
+def fullsubnet_init(key: jax.Array, cfg: FullSubNetConfig = FullSubNetConfig(), dtype=jnp.float32):
+    k_fb, k_fbo, k_sb, k_sbo = jax.random.split(key, 4)
+    f = cfg.n_freqs
+    import numpy as np
+
+    def linear(k, i, o):
+        bound = 1.0 / np.sqrt(i)
+        kw, kb = jax.random.split(k)
+        return {
+            "w": jax.random.uniform(kw, (o, i), dtype, -bound, bound),
+            "b": jnp.zeros((o,), dtype),
+        }
+
+    return {
+        "fb_lstm": lstm_init(k_fb, 2 * f, cfg.fb_hidden, dtype),
+        "fb_out": linear(k_fbo, cfg.fb_hidden, f),
+        "sb_lstm": lstm_init(k_sb, cfg.sb_input, cfg.sb_hidden, dtype),
+        "sb_out": linear(k_sbo, cfg.sb_hidden, 2),  # (mask_near, mask_echo)
+    }
+
+
+def _unfold_bins(mag: jax.Array, n: int) -> jax.Array:
+    """[B, T, F] -> [B, T, F, 2n+1] reflect-padded frequency neighborhoods."""
+    padded = jnp.pad(mag, [(0, 0), (0, 0), (n, n)], mode="reflect")
+    cols = [padded[..., i : i + mag.shape[-1]] for i in range(2 * n + 1)]
+    return jnp.stack(cols, axis=-1)
+
+
+def fullsubnet_masks(
+    params, mic_mag: jax.Array, ref_mag: jax.Array, cfg: FullSubNetConfig = FullSubNetConfig()
+) -> tuple[jax.Array, jax.Array]:
+    """Magnitudes [B, T, F] -> (mask_near, mask_echo) in [0, 1]^[B, T, F]."""
+    b, t, f = mic_mag.shape
+    # full-band stage
+    fb_in = jnp.concatenate([mic_mag, ref_mag], axis=-1)  # [B, T, 2F]
+    fb_seq, _ = lstm_scan(params["fb_lstm"], fb_in)
+    fb_emb = jax.nn.relu(
+        fb_seq @ params["fb_out"]["w"].T + params["fb_out"]["b"]
+    )  # [B, T, F]
+
+    # sub-band stage: per-bin sequences, all bins batched into the scan
+    n = cfg.neighborhood
+    sb_in = jnp.concatenate(
+        [
+            _unfold_bins(mic_mag, n),  # [B, T, F, 2n+1]
+            _unfold_bins(ref_mag, n),
+            fb_emb[..., None],
+        ],
+        axis=-1,
+    )  # [B, T, F, sb_input]
+    sb_in = jnp.transpose(sb_in, (0, 2, 1, 3)).reshape(b * f, t, cfg.sb_input)
+    sb_seq, _ = lstm_scan(params["sb_lstm"], sb_in)  # [B*F, T, H]
+    masks = jax.nn.sigmoid(
+        sb_seq @ params["sb_out"]["w"].T + params["sb_out"]["b"]
+    )  # [B*F, T, 2]
+    masks = masks.reshape(b, f, t, 2).transpose(0, 2, 1, 3)  # [B, T, F, 2]
+    return masks[..., 0], masks[..., 1]
+
+
+def fullsubnet_apply(
+    params,
+    mic: jax.Array,
+    ref: jax.Array,
+    cfg: FullSubNetConfig = FullSubNetConfig(),
+) -> dict[str, jax.Array]:
+    """wav [B, n] -> dual-mask enhancement (models.py:417-443 contract):
+    near estimate = mask_near * |mic| with mic phase; echo estimate
+    likewise with mask_echo."""
+    scfg = cfg.stft
+    mic_spec = stft_mod.stft(mic, scfg)
+    ref_spec = stft_mod.stft(ref, scfg)
+    mic_mag = stft_mod.magnitude(mic_spec)
+    ref_mag = stft_mod.magnitude(ref_spec)
+    mask_near, mask_echo = fullsubnet_masks(params, mic_mag, ref_mag, cfg)
+
+    re, im = split_complex(mic_spec)
+    phase = jnp.arctan2(im, re)
+    est_mag = mask_near * mic_mag
+    est = jnp.concatenate([est_mag * jnp.cos(phase), est_mag * jnp.sin(phase)], axis=-1)
+    wav = stft_mod.istft(est, scfg)
+    echo_mag = mask_echo * mic_mag
+    echo_spec = jnp.concatenate(
+        [echo_mag * jnp.cos(phase), echo_mag * jnp.sin(phase)], axis=-1
+    )
+    echo_wav = stft_mod.istft(echo_spec, scfg)
+    return {
+        "wav": wav,
+        "echo_wav": echo_wav,
+        "mask_near": mask_near,
+        "mask_echo": mask_echo,
+        "out_spec": est,
+    }
+
+
+def fullsubnet_loss(
+    params,
+    mic: jax.Array,
+    ref: jax.Array,
+    near: jax.Array,
+    echo: jax.Array,
+    cfg: FullSubNetConfig = FullSubNetConfig(),
+) -> tuple[jax.Array, dict]:
+    """Complex-spectrum MSE vs near (models.py:195-197) + the symmetric
+    echo-mask term implied by the dual-mask contract."""
+    out = fullsubnet_apply(params, mic, ref, cfg)
+    scfg = cfg.stft
+    near_spec = stft_mod.stft(near, scfg)
+    echo_spec = stft_mod.stft(echo, scfg)
+    re, im = split_complex(out["out_spec"])
+    nre, nim = split_complex(near_spec)
+    loss_near = jnp.mean((re - nre) ** 2) + jnp.mean((im - nim) ** 2)
+    mic_mag = stft_mod.magnitude(stft_mod.stft(mic, scfg))
+    echo_mag_t = stft_mod.magnitude(echo_spec)
+    loss_echo = jnp.mean((out["mask_echo"] * mic_mag - echo_mag_t) ** 2)
+    return loss_near + loss_echo, {"wav": out["wav"]}

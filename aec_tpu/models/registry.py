@@ -23,9 +23,17 @@ class ModelSpec:
 
 
 def _specs() -> dict[str, ModelSpec]:
-    from aec_tpu.models import att_ccrn, dccrn, dct_net, little_net, two_layer_gru
+    from aec_tpu.models import att_ccrn, dccrn, dct_net, fullsubnet, little_net, two_layer_gru
 
     return {
+        "fullsubnet": ModelSpec(
+            "fullsubnet",
+            fullsubnet.fullsubnet_init,
+            fullsubnet.fullsubnet_apply,
+            fullsubnet.fullsubnet_loss,
+            stateful=False,
+            reference="models.py (driver only; module missing upstream — working realization)",
+        ),
         "little_net": ModelSpec(
             "little_net",
             little_net.little_net_init,

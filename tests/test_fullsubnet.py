@@ -1,0 +1,69 @@
+"""FullSubNet family tests (dual-mask contract, mel bank, training)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.dsp.mel import mel_filterbank
+from aec_tpu.models.fullsubnet import (
+    FullSubNetConfig,
+    fullsubnet_apply,
+    fullsubnet_init,
+    fullsubnet_loss,
+)
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = mel_filterbank()
+    assert fb.shape == (161, 21)
+    assert np.all(fb >= 0) and np.all(fb <= 1)
+    assert np.all((fb != 0).sum(axis=0) > 0)  # every filter has support
+
+
+def test_fullsubnet_dual_mask_contract(rng):
+    cfg = FullSubNetConfig(fb_hidden=32, sb_hidden=16)
+    params = fullsubnet_init(jax.random.PRNGKey(0), cfg)
+    n = 3200
+    mic = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    out = fullsubnet_apply(params, mic, ref, cfg)
+    t = n // 160 + 1
+    assert out["wav"].shape == (2, n)
+    assert out["mask_near"].shape == (2, t, 161)
+    assert out["mask_echo"].shape == (2, t, 161)
+    for key in ("mask_near", "mask_echo"):
+        m = np.asarray(out[key])
+        assert np.all(m >= 0) and np.all(m <= 1)
+    assert bool(jnp.isfinite(out["wav"]).all())
+    assert bool(jnp.isfinite(out["echo_wav"]).all())
+
+
+def test_fullsubnet_loss_trains(rng):
+    import optax
+
+    cfg = FullSubNetConfig(fb_hidden=32, sb_hidden=16, neighborhood=2)
+    params = fullsubnet_init(jax.random.PRNGKey(1), cfg)
+    n = 3200
+    far = rng.standard_normal((1, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(120) / 40.0) * rng.standard_normal(120)).astype(np.float32)
+    echo = np.stack([np.convolve(far[0], 0.4 * rir)[:n]]).astype(np.float32)
+    near = (0.2 * rng.standard_normal((1, n))).astype(np.float32)
+    mic, far, near, echo = map(jnp.asarray, (near + echo, far, near, echo))
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: fullsubnet_loss(p, mic, far, near, echo, cfg)[0]
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
