@@ -1,0 +1,39 @@
+"""Fused Pallas Kalman kernel == scan implementation (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.configs import KalmanConfig
+from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused
+from aec_tpu.linear.kalman import kalman_cancel
+from aec_tpu.train.metrics import erle
+
+
+def test_fused_matches_scan(rng):
+    cfg = KalmanConfig()
+    n = 40 * 256
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(400) / 80.0) * rng.standard_normal(400)).astype(np.float32)
+    mic = np.convolve(far, 0.4 * rir)[:n].astype(np.float32)
+    want = np.asarray(kalman_cancel(cfg, jnp.asarray(far), jnp.asarray(mic))["wav"])
+    got = np.asarray(
+        kalman_cancel_fused(cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True)["wav"]
+    )
+    assert got.shape == want.shape
+    scale = max(np.max(np.abs(want)), 1e-3)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale)
+
+
+def test_fused_converges(rng):
+    cfg = KalmanConfig()
+    n = 4 * 16384
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(512) / 100.0) * rng.standard_normal(512)).astype(np.float32)
+    mic = np.convolve(far, 0.5 * rir)[:n].astype(np.float32)
+    e = np.asarray(
+        kalman_cancel_fused(cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True)["wav"]
+    )
+    tail = slice(-16384, None)
+    tail_erle = float(erle(jnp.asarray(mic[tail]), jnp.asarray(e[tail])))
+    assert tail_erle > 30.0, tail_erle
