@@ -47,6 +47,7 @@ class DccrnConfig:
     padding: tuple[int, int] = (2, 0)
     masking_mode: str = "E"  # 'E' | 'C' | 'R'
     use_clstm: bool = True
+    use_cbn: bool = False  # complex whitening BN (dccrn2 'use_cbn') vs real BN
     rnn_layers: int = 2
     stft: StftConfig = StftConfig()
 
@@ -56,10 +57,16 @@ def dccrn_init(key: jax.Array, cfg: DccrnConfig = DccrnConfig(), dtype=jnp.float
     chans = cfg.conv_channels
     n_enc = len(chans) - 1
     keys = jax.random.split(key, 2 * n_enc + 2)
+    def bn_init(k, c):
+        if cfg.use_cbn:
+            return cl.complex_batch_norm_init(k, c, dtype)
+        return cl.batch_norm_init(c, dtype)
+
+    bn_keys = jax.random.split(jax.random.fold_in(key, 1), 2 * n_enc)
     enc, enc_state = [], []
     for i in range(n_enc):
         conv = cl.complex_conv_init(keys[i], chans[i], chans[i + 1], cfg.kernel, dtype)
-        bn_p, bn_s = cl.batch_norm_init(chans[i + 1], dtype)
+        bn_p, bn_s = bn_init(bn_keys[i], chans[i + 1])
         enc.append({"conv": conv, "bn": bn_p, "prelu": cl.prelu_init(dtype)})
         enc_state.append({"bn": bn_s})
 
@@ -69,7 +76,7 @@ def dccrn_init(key: jax.Array, cfg: DccrnConfig = DccrnConfig(), dtype=jnp.float
         conv = cl.complex_conv_init(
             keys[n_enc + (n_enc - 1 - i)], chans[i + 1] * 2, c_out, cfg.kernel, dtype
         )
-        bn_p, bn_s = cl.batch_norm_init(c_out, dtype)
+        bn_p, bn_s = bn_init(bn_keys[n_enc + (n_enc - 1 - i)], c_out)
         dec.append({"conv": conv, "bn": bn_p, "prelu": cl.prelu_init(dtype)})
         dec_state.append({"bn": bn_s})
 
@@ -118,11 +125,13 @@ def dccrn_apply(
     # channel stack [mic_r, far_r || mic_i, far_i], drop DC (dccrn.py:552-553)
     x = jnp.stack([mic_re, far_re, mic_im, far_im], axis=-1)[:, 1:]  # [B,F,T,4]
 
+    bn_apply = cl.complex_batch_norm if cfg.use_cbn else cl.batch_norm
+
     new_enc_state, skips = [], []
     pad = [(cfg.padding[0],) * 2, (cfg.padding[1],) * 2]
     for layer, lstate in zip(params["encoder"], state["encoder"]):
         x = cl.complex_conv(layer["conv"], x, cfg.stride, pad)
-        x, bn_s = cl.batch_norm(layer["bn"], lstate["bn"], x, train=train)
+        x, bn_s = bn_apply(layer["bn"], lstate["bn"], x, train=train)
         x = cl.prelu(layer["prelu"], x)
         new_enc_state.append({"bn": bn_s})
         skips.append(x)
@@ -150,7 +159,7 @@ def dccrn_apply(
         x = cl.complex_conv_transpose(
             layer["conv"], x, cfg.stride, cfg.padding, output_padding=(1, 0)
         )
-        x, bn_s = cl.batch_norm(layer["bn"], lstate["bn"], x, train=train)
+        x, bn_s = bn_apply(layer["bn"], lstate["bn"], x, train=train)
         x = jnp.tanh(x) if i == len(params["decoder"]) - 1 else cl.prelu(layer["prelu"], x)
         new_dec_state.append({"bn": bn_s})
 

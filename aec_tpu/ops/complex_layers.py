@@ -160,3 +160,77 @@ def prelu_init(dtype=jnp.float32):
 
 def prelu(alpha, x):
     return jnp.where(x >= 0, x, alpha * x)
+
+
+def complex_batch_norm_init(key, c: int, dtype=jnp.float32):
+    """Whitening complex BN (dccrn.py:210-267): per complex channel a 2x2
+    affine W (Wrr=Wii=1, Wri ~ U(-0.9, 0.9)) + complex bias, running complex
+    mean and 2x2 covariance. ``c`` is the TOTAL channel count (real+imag)."""
+    cc = c // 2
+    params = {
+        "w_rr": jnp.ones((cc,), dtype),
+        "w_ri": jax.random.uniform(key, (cc,), dtype, -0.9, 0.9),
+        "w_ii": jnp.ones((cc,), dtype),
+        "b_r": jnp.zeros((cc,), dtype),
+        "b_i": jnp.zeros((cc,), dtype),
+    }
+    state = {
+        "m_r": jnp.zeros((cc,), dtype),
+        "m_i": jnp.zeros((cc,), dtype),
+        "v_rr": jnp.ones((cc,), dtype),
+        "v_ri": jnp.zeros((cc,), dtype),
+        "v_ii": jnp.ones((cc,), dtype),
+    }
+    return params, state
+
+
+def complex_batch_norm(
+    params, state, x: jax.Array, *, train: bool, momentum: float = 0.1, eps: float = 1e-5
+):
+    """Complex whitening batch norm (dccrn.py:273-383 forward).
+
+    Centers each complex channel, whitens by the inverse square root of the
+    2x2 real covariance [[Vrr, Vri], [Vri, Vii]] (closed form), then applies
+    the learned 2x2 affine + bias. x is [..., 2Cc] NHWC [reals || imags].
+    Returns (y, new_state).
+    """
+    xr, xi = _split_ri(x)
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        m_r, m_i = jnp.mean(xr, axes), jnp.mean(xi, axes)
+        xr_c, xi_c = xr - m_r, xi - m_i
+        v_rr = jnp.mean(xr_c * xr_c, axes)
+        v_ri = jnp.mean(xr_c * xi_c, axes)
+        v_ii = jnp.mean(xi_c * xi_c, axes)
+        lerp = lambda old, new: old + momentum * (new - old)
+        new_state = {
+            "m_r": lerp(state["m_r"], m_r),
+            "m_i": lerp(state["m_i"], m_i),
+            "v_rr": lerp(state["v_rr"], v_rr),
+            "v_ri": lerp(state["v_ri"], v_ri),
+            "v_ii": lerp(state["v_ii"], v_ii),
+        }
+    else:
+        m_r, m_i = state["m_r"], state["m_i"]
+        xr_c, xi_c = xr - m_r, xi - m_i
+        v_rr, v_ri, v_ii = state["v_rr"], state["v_ri"], state["v_ii"]
+        new_state = state
+    v_rr, v_ii = v_rr + eps, v_ii + eps
+
+    # inverse sqrt of the 2x2 covariance (closed form, dccrn.py:346-355)
+    tau = v_rr + v_ii
+    delta = v_rr * v_ii - v_ri * v_ri
+    s = jnp.sqrt(delta)
+    t = jnp.sqrt(tau + 2.0 * s)
+    rst = 1.0 / (s * t)
+    u_rr, u_ii, u_ri = (s + v_ii) * rst, (s + v_rr) * rst, -v_ri * rst
+
+    # combined affine Z = W @ U (dccrn.py:366-371)
+    z_rr = params["w_rr"] * u_rr + params["w_ri"] * u_ri
+    z_ri = params["w_rr"] * u_ri + params["w_ri"] * u_ii
+    z_ir = params["w_ri"] * u_rr + params["w_ii"] * u_ri
+    z_ii = params["w_ri"] * u_ri + params["w_ii"] * u_ii
+
+    yr = z_rr * xr_c + z_ri * xi_c + params["b_r"]
+    yi = z_ir * xr_c + z_ii * xi_c + params["b_i"]
+    return jnp.concatenate([yr, yi], axis=-1), new_state

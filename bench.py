@@ -83,4 +83,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # the axon remote-compile tunnel intermittently fails fresh compiles
+    # with UNIMPLEMENTED; compiled programs are cached, so a retry succeeds.
+    last_err = None
+    for _ in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            time.sleep(5)
+    else:
+        raise last_err

@@ -48,6 +48,15 @@ def test_little_net_forward_parity(rng):
     np.testing.assert_allclose(np.asarray(aux["est_erb"]), want_est, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(float(loss), want_loss, rtol=2e-3)
 
+    # BASELINE.json north-star criterion: ERLE deviation vs the reference
+    # pipeline <= 0.1 dB (here: same weights, our TPU path vs the f64/torch
+    # oracle of the reference equations)
+    from aec_tpu.train.metrics import erle
+
+    erle_ours = float(erle(jnp.asarray(mic), jnp.asarray(got_wav)))
+    erle_ref = float(erle(jnp.asarray(mic), jnp.asarray(want_wav.astype(np.float32))))
+    assert abs(erle_ours - erle_ref) <= 0.1, (erle_ours, erle_ref)
+
 
 def test_little_net_mask_bounded(rng):
     params = little_net_init(jax.random.PRNGKey(4))
