@@ -29,12 +29,20 @@ def main(argv=None) -> None:
     p.add_argument("--loss_log", type=str, default="loss.txt")
     p.add_argument("--resume_model", type=str, default="")
     p.add_argument("--mesh", action="store_true", help="shard batches over all chips")
+    p.add_argument("--model", type=str, default="little_net",
+                   choices=("little_net", "two_layer_gru"),
+                   help="stage-2 model family (stateless families; the "
+                        "DCCRN/ATT-CCRN BatchNorm families train via their "
+                        "module-level loss fns)")
     p.add_argument("--lr", type=float, default=TrainConfig.lr)
     p.add_argument("--batch_size", type=int, default=TrainConfig.batch_size)
     p.add_argument("--max_n_epochs", type=int, default=TrainConfig.max_n_epochs)
     args = p.parse_args(argv)
     logger.info("Arguments:\n%s", pprint.pformat(vars(args)))
 
+    from aec_tpu.models.registry import get_model
+
+    spec = get_model(args.model)
     cfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, max_n_epochs=args.max_n_epochs
     )
@@ -47,6 +55,8 @@ def main(argv=None) -> None:
         time_log=args.time_log,
         loss_log_name=args.loss_log,
         use_mesh=args.mesh,
+        loss_fn=spec.loss,
+        init_fn=spec.init,
     )
     trainer.train()
 

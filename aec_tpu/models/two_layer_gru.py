@@ -72,12 +72,16 @@ def two_layer_gru_loss(
     cfg: StftConfig = StftConfig(),
     *,
     asym_weight: float = 0.0,
+    sqrt_eps: float = 0.0,
 ) -> tuple[jax.Array, dict[str, Any]]:
-    """Compressed ERB-mag MSE + optional asymmetric penalty (ERB.py:184-189)."""
+    """Compressed ERB-mag MSE + optional asymmetric penalty (ERB.py:184-189).
+
+    ``sqrt_eps`` as in little_net_loss (float32 sqrt-gradient guard).
+    """
     out = two_layer_gru_apply(params, mic, ref, erb, cfg)
     near_erb = stft_mod.magnitude(stft_mod.stft(near, cfg)) @ erb
     t, e = near_erb.shape[-2], near_erb.shape[-1]
-    diff = jnp.sqrt(near_erb) - jnp.sqrt(out["est_erb"])
+    diff = jnp.sqrt(near_erb + sqrt_eps) - jnp.sqrt(out["est_erb"] + sqrt_eps)
     loss = jnp.sum(diff * diff) / (t * e)
     if asym_weight:
         asym = jnp.sum(jax.nn.relu(diff) ** 2) / (t * e)

@@ -70,6 +70,24 @@ def test_full_cli_flow(tmp_path, rng, capsys):
     assert '"mean"' in out and '"erle"' in out
 
 
+def test_train_cli_two_layer_gru(tmp_path, rng):
+    wav_dir = str(tmp_path / "wavs")
+    h5_dir = str(tmp_path / "h5")
+    lists = str(tmp_path / "lists")
+    _make_wavs(wav_dir, rng)
+    prepare_data.main(["train", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    prepare_data.main(["test", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    ckpt_dir = str(tmp_path / "exp2l")
+    train_cli.main([
+        "--tr_list", os.path.join(lists, "tr_list.txt"),
+        "--cv_file", os.path.join(h5_dir, "test.ex"),
+        "--ckpt_dir", ckpt_dir,
+        "--batch_size", "2", "--max_n_epochs", "1",
+        "--model", "two_layer_gru",
+    ])
+    assert os.path.isfile(os.path.join(ckpt_dir, "models", "latest.npz"))
+
+
 def test_stoi_properties(rng):
     t = np.arange(32000) / 16000.0
     # modulated tone stack ~ speech-ish envelope
