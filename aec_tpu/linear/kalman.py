@@ -60,6 +60,7 @@ def kalman_step(
     *,
     block: int = 256,
     constrain: bool = True,
+    precision=None,
 ) -> tuple[KalmanState, jax.Array]:
     """One block update; far spectrum [K], mic time block [B] -> e block."""
     x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
@@ -72,8 +73,9 @@ def kalman_step(
 
     # Prior residual (overlap-save time domain), then its spectrum.
     y_spec = jnp.sum(w_pred * x_buf, axis=0)
-    e_block = d_t - ols.spectrum_to_block(y_spec, block)
-    e_spec = ols.block_to_spectrum(e_block, block)
+    precision = precision or ols._HIGHEST
+    e_block = d_t - ols.spectrum_to_block(y_spec, block, precision)
+    e_spec = ols.block_to_spectrum(e_block, block, precision)
     e_mag2 = jnp.real(e_spec) ** 2 + jnp.imag(e_spec) ** 2
     psi = cfg.obs_smooth * state["psi"] + (1.0 - cfg.obs_smooth) * e_mag2
     psi = jnp.maximum(psi, cfg.psi_floor)
@@ -83,7 +85,7 @@ def kalman_step(
     den = jnp.sum(x_mag2 * p_pred, axis=0) + 2.0 * psi  # (K,)
     upd = p_pred * jnp.conj(x_buf) * (e_spec / den)[None, :]  # (L, K)
     if constrain:
-        upd = ols.constrain_gradient(upd, block)
+        upd = ols.constrain_gradient(upd, block, precision)
     w = w_pred + upd
     p = p_pred * (1.0 - p_pred * x_mag2 / den[None, :])
     p = jnp.maximum(p, cfg.psi_floor)
@@ -99,6 +101,7 @@ def kalman_filter(
     *,
     block: int = 256,
     constrain: bool = True,
+    precision=None,
 ) -> tuple[jax.Array, KalmanState]:
     """Filter sequences: far spectra [T, K], mic blocks [T, B] -> e [T, B]."""
     if state is None:
@@ -106,7 +109,7 @@ def kalman_filter(
 
     def step(s, xd):
         x_t, d_t = xd
-        s, e_t = kalman_step(cfg, s, x_t, d_t, block=block, constrain=constrain)
+        s, e_t = kalman_step(cfg, s, x_t, d_t, block=block, constrain=constrain, precision=precision)
         return s, e_t
 
     state, e_blocks = jax.lax.scan(step, state, (x_spec, d_blocks))
@@ -120,8 +123,13 @@ def kalman_cancel(
     *,
     block: int = 256,
     constrain: bool = True,
+    precision=None,
 ) -> dict[str, jax.Array]:
-    """Waveform in/out canceller (BASELINE config #2). [n] or [B, n]."""
+    """Waveform in/out canceller (BASELINE config #2). [n] or [B, n].
+
+    ``precision``: see nlms_cancel — DEFAULT trades ~1.2 dB ERLE for ~1.4x
+    throughput on v5e; default stays HIGHEST.
+    """
     batched = far.ndim == 2
     if not batched:
         far, mic = far[None], mic[None]
@@ -132,7 +140,7 @@ def kalman_cancel(
     d_blocks = ols.mic_blocks(micp, block)
 
     e_blocks, state = jax.vmap(
-        lambda x, d: kalman_filter(cfg, x, d, block=block, constrain=constrain)
+        lambda x, d: kalman_filter(cfg, x, d, block=block, constrain=constrain, precision=precision)
     )(x_spec, d_blocks)
     wav = e_blocks.reshape(e_blocks.shape[0], -1)[:, :n]
     if not batched:

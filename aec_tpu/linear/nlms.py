@@ -52,6 +52,7 @@ def nlms_step(
     *,
     block: int = 256,
     constrain: bool = True,
+    precision=None,
 ) -> tuple[NlmsState, jax.Array]:
     """One block: far spectrum ``x_t`` [K], mic time block ``d_t`` [B].
 
@@ -62,12 +63,13 @@ def nlms_step(
     power = cfg.power_smooth * state["power"] + (1.0 - cfg.power_smooth) * inst_power
 
     y_spec = jnp.sum(state["w"] * x_buf, axis=0)  # (K,)
-    e_block = d_t - ols.spectrum_to_block(y_spec, block)  # (B,)
-    e_spec = ols.block_to_spectrum(e_block, block)  # (K,)
+    precision = precision or ols._HIGHEST
+    e_block = d_t - ols.spectrum_to_block(y_spec, block, precision)  # (B,)
+    e_spec = ols.block_to_spectrum(e_block, block, precision)  # (K,)
 
     grad = jnp.conj(x_buf) * e_spec[None, :] / (power + cfg.eps)[None, :]
     if constrain:
-        grad = ols.constrain_gradient(grad, block)
+        grad = ols.constrain_gradient(grad, block, precision)
     w = state["w"] + cfg.mu * grad
     return NlmsState(w=w, x_buf=x_buf, power=power), e_block
 
@@ -80,6 +82,7 @@ def nlms_filter(
     *,
     block: int = 256,
     constrain: bool = True,
+    precision=None,
 ) -> tuple[jax.Array, NlmsState]:
     """Filter sequences: far spectra [T, K], mic blocks [T, B] -> e [T, B]."""
     if state is None:
@@ -87,7 +90,7 @@ def nlms_filter(
 
     def step(s, xd):
         x_t, d_t = xd
-        s, e_t = nlms_step(cfg, s, x_t, d_t, block=block, constrain=constrain)
+        s, e_t = nlms_step(cfg, s, x_t, d_t, block=block, constrain=constrain, precision=precision)
         return s, e_t
 
     state, e_blocks = jax.lax.scan(step, state, (x_spec, d_blocks))
@@ -101,11 +104,17 @@ def nlms_cancel(
     *,
     block: int = 256,
     constrain: bool = True,
+    precision=None,
 ) -> dict[str, jax.Array]:
     """Waveform in/out single-pair canceller (BASELINE config #1).
 
     ``far``/``mic``: [n] or [B, n]. Returns echo-cancelled ``wav`` (same
     length as input) plus the final filter state under ``state``.
+
+    ``precision``: DFT-matmul precision; default HIGHEST (full fp32).
+    ``jax.lax.Precision.DEFAULT`` (bf16 passes) is ~1.4x faster end-to-end
+    on v5e at a measured ~1.2 dB ERLE cost (56.6 -> 55.3 dB on the synthetic
+    echo scene) — acceptable when stage-2 follows.
     """
     batched = far.ndim == 2
     if not batched:
@@ -117,7 +126,7 @@ def nlms_cancel(
     d_blocks = ols.mic_blocks(micp, block)  # [B, T, Bk]
 
     e_blocks, state = jax.vmap(
-        lambda x, d: nlms_filter(cfg, x, d, block=block, constrain=constrain)
+        lambda x, d: nlms_filter(cfg, x, d, block=block, constrain=constrain, precision=precision)
     )(x_spec, d_blocks)
     wav = e_blocks.reshape(e_blocks.shape[0], -1)[:, :n]
     if not batched:

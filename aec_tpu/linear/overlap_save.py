@@ -91,24 +91,24 @@ def mic_blocks(mic: jax.Array, block: int) -> jax.Array:
     return mic.reshape(*mic.shape[:-1], -1, block)
 
 
-def spectrum_to_block(y_spec: jax.Array, block: int) -> jax.Array:
+def spectrum_to_block(y_spec: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
     """Last B samples of the inverse FFT — the linear-convolution output.
 
     Implemented as one (2K, B) matmul (see ``_dft_mats``)."""
     _, inv_tail, _ = _dft_mats(block)
-    return jnp.matmul(_ri(y_spec), jnp.asarray(inv_tail), precision=_HIGHEST)
+    return jnp.matmul(_ri(y_spec), jnp.asarray(inv_tail), precision=precision)
 
 
-def block_to_spectrum(e_block: jax.Array, block: int) -> jax.Array:
+def block_to_spectrum(e_block: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
     """rfft of [zeros_B || e_block] — overlap-save error spectrum.
 
     == e_block @ fwd[block:, :] (the zero half contributes nothing)."""
     fwd, _, _ = _dft_mats(block)
-    e_ri = jnp.matmul(e_block, jnp.asarray(fwd[block:, :]), precision=_HIGHEST)
+    e_ri = jnp.matmul(e_block, jnp.asarray(fwd[block:, :]), precision=precision)
     return _to_complex(e_ri)
 
 
-def constrain_gradient(g_spec: jax.Array, block: int) -> jax.Array:
+def constrain_gradient(g_spec: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
     """Project per-partition updates onto causal B-tap time support.
 
     Mathematically irfft -> zero the last half -> rfft (the 'constrained'
@@ -117,5 +117,5 @@ def constrain_gradient(g_spec: jax.Array, block: int) -> jax.Array:
     Applied over the last axis (frequency); any leading axes (partitions).
     """
     _, _, constrain = _dft_mats(block)
-    g_ri = jnp.matmul(_ri(g_spec), jnp.asarray(constrain), precision=_HIGHEST)
+    g_ri = jnp.matmul(_ri(g_spec), jnp.asarray(constrain), precision=precision)
     return _to_complex(g_ri)
