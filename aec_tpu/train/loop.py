@@ -95,6 +95,46 @@ def make_train_step(
     )
 
 
+def make_stateful_train_step(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+):
+    """SPMD train step for models carrying non-trainable state (BatchNorm
+    running stats): DCCRN / ATT-CCRN / FullSubNet-with-echo families.
+
+    ``loss_fn(params, model_state, *batch_arrays)`` must return
+    (loss, aux_dict with key "state" holding the updated model state).
+    Batch arrays are data-sharded over the mesh; params/opt/model state
+    replicated (BatchNorm stats are computed over the GLOBAL batch thanks to
+    GSPMD's global-semantics reductions).
+    """
+
+    def step(params, opt_state, model_state, *batch):
+        def lf(p):
+            loss, aux = loss_fn(p, model_state, *batch)
+            return loss, aux["state"]
+
+        (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+    dsh, rep = data_sharding(mesh), replicated(mesh)
+
+    def jitted(params, opt_state, model_state, *batch):
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep) + (dsh,) * len(batch),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1, 2),
+        )(params, opt_state, model_state, *batch)
+
+    return jitted
+
+
 def make_eval_step(loss_fn: LossFn, *, scfg: StftConfig = StftConfig()):
     def step(params, mic, ref, near, erb):
         loss, _ = loss_fn(params, mic, ref, near, erb, scfg)
@@ -219,6 +259,27 @@ class Trainer:
                         ckpt_info,
                         metrics,
                     )
+                    # structured per-period metrics (SURVEY §5.5): jsonl with
+                    # loss + throughput (xRT = audio seconds / wall second)
+                    import json as _json
+
+                    audio_s = batch["nearend_mic"].shape[0] * (
+                        batch["nearend_mic"].shape[1] / 16000.0
+                    )
+                    with open(os.path.join(self.ckpt_dir, "metrics.jsonl"), "a") as f:
+                        f.write(
+                            _json.dumps(
+                                {
+                                    "epoch": ckpt_info["cur_epoch"] + 1,
+                                    "iter": n_iter,
+                                    "tr_loss": ckpt_info["tr_loss"],
+                                    "cv_loss": metrics["loss"],
+                                    "batch_time_s": round(batch_time, 5),
+                                    "train_xrt": round(audio_s / batch_time, 1),
+                                }
+                            )
+                            + "\n"
+                        )
                     logger.info(
                         "Epoch [{:d}/{:d}], ( tr_loss: {:.4f} | best_loss: {:.4f} )".format(
                             ckpt_info["cur_epoch"] + 1,
