@@ -1,0 +1,168 @@
+"""Train the stage-2 LittleNet post-filter on synthetic echo scenes.
+
+Produces the pretrained checkpoint shipped at ``checkpoints/little_net_synthetic.npz``:
+
+  python examples/train_synthetic.py [--steps 1500] [--batch 64]
+
+Scenes are AEC-Challenge-style: far-end speech-shaped noise through a random
+decaying RIR (echo), plus near-end speech-shaped noise at random SNR. The
+net trains on the REAL two-stage configuration: its mic input is the
+stage-1 Kalman canceller's output (residual echo + near end), its reference
+is the far-end — exactly the deployment contract (BASELINE.json north star).
+Training runs entirely on device; scene synthesis is fully vectorized
+(FFT-domain convolution), so each step is one jit call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_scene_fn(n: int, rir_len: int = 1600, sr: int = 16000):
+    """Returns a jittable key -> (far, mic, near) batch synthesizer."""
+
+    def speech_shaped(key, b):
+        white = jax.random.normal(key, (b, n))
+        spec = jnp.fft.rfft(white)
+        f = jnp.fft.rfftfreq(n, 1.0 / sr)
+        tilt = 1.0 / jnp.maximum(f / 500.0, 1.0)
+        shaped = jnp.fft.irfft(spec * tilt, n=n)
+        k_env, _ = jax.random.split(key)
+        rate = jax.random.uniform(k_env, (b, 1), minval=2.0, maxval=6.0)
+        phase = jax.random.uniform(k_env, (b, 1), maxval=2 * jnp.pi)
+        env = 0.5 + 0.5 * jnp.clip(
+            jnp.sin(2 * jnp.pi * rate * jnp.arange(n) / sr + phase), 0.0, None
+        )
+        out = shaped * env
+        return out / (jnp.max(jnp.abs(out), axis=-1, keepdims=True) + 1e-9)
+
+    def scenes(key, b):
+        k_far, k_near, k_rir, k_gain, k_snr = jax.random.split(key, 5)
+        far = speech_shaped(k_far, b)
+        near = speech_shaped(k_near, b)
+        decay = jax.random.uniform(k_rir, (b, 1), minval=100.0, maxval=500.0)
+        rir = jax.random.normal(k_rir, (b, rir_len)) * jnp.exp(
+            -jnp.arange(rir_len) / decay
+        )
+        rir = rir / (jnp.max(jnp.abs(rir), axis=-1, keepdims=True) + 1e-9)
+        gain = jax.random.uniform(k_gain, (b, 1), minval=0.3, maxval=1.0)
+        # linear convolution via zero-padded FFT
+        m = n + rir_len
+        echo = jnp.fft.irfft(
+            jnp.fft.rfft(far, n=m) * jnp.fft.rfft(gain * rir, n=m), n=m
+        )[:, :n]
+        near_gain = jax.random.uniform(k_snr, (b, 1), minval=0.1, maxval=0.5)
+        mic = echo + near_gain * near
+        return far, mic, near_gain * near
+
+    return scenes
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--seconds", type=float, default=4.0)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--out", type=str, default="checkpoints/little_net_synthetic.npz")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from aec_tpu.configs import KalmanConfig, TrainConfig
+    from aec_tpu.dsp.erb import erb_filterbank
+    from aec_tpu.dsp.stft import StftConfig
+    from aec_tpu.linear.kalman import kalman_cancel
+    from aec_tpu.models.little_net import little_net_init, little_net_loss
+    from aec_tpu.train import checkpoints
+    from aec_tpu.train.metrics import erle
+
+    n = int(args.seconds * 16000) // 256 * 256
+    scfg, kcfg = StftConfig(), KalmanConfig()
+    scenes = make_scene_fn(n)
+    params = little_net_init(jax.random.PRNGKey(args.seed))
+    erb = jnp.asarray(erb_filterbank())
+    opt = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.adam(optax.cosine_decay_schedule(args.lr, args.steps, 0.05)),
+    )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        far, mic, near = scenes(key, args.batch)
+        lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
+
+        def lf(p):
+            loss, _ = little_net_loss(
+                p, lin, far, near, erb, scfg, sqrt_eps=1e-12
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    from aec_tpu.models.little_net import little_net_apply
+    from aec_tpu.train.metrics import si_snr
+
+    @jax.jit
+    def eval_metrics(params, key):
+        far, mic, near = scenes(key, 16)
+        half = n // 2
+        # double-talk scene: SI-SNR of the enhanced output vs near-end
+        lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
+        enh = little_net_apply(params, lin, far, erb, scfg)["wav"]
+        sisnr_lin = si_snr(lin[:, half:], near[:, half:])
+        sisnr_enh = si_snr(enh[:, half:], near[:, half:])
+        # echo-only scene: ERLE of stage-1 alone vs the full two-stage
+        mic_e = mic - near
+        lin_e = kalman_cancel(kcfg, far, mic_e, block=scfg.hop)["wav"]
+        enh_e = little_net_apply(params, lin_e, far, erb, scfg)["wav"]
+        return (
+            erle(mic_e[:, half:], lin_e[:, half:]),
+            erle(mic_e[:, half:], enh_e[:, half:]),
+            sisnr_lin,
+            sisnr_enh,
+        )
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub)
+        if step % 200 == 0 or step == args.steps - 1:
+            e1, e2, s1, s2 = eval_metrics(params, jax.random.PRNGKey(123))
+            print(
+                f"step {step}: loss={float(loss):.4f} | echo-only ERLE "
+                f"stage1={float(e1):.2f} two-stage={float(e2):.2f} dB | "
+                f"double-talk SI-SNR lin={float(s1):.2f} enh={float(s2):.2f} dB "
+                f"({time.perf_counter() - t0:.0f}s)",
+                flush=True,
+            )
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    e1, e2, s1, s2 = eval_metrics(params, jax.random.PRNGKey(123))
+    info = {
+        "steps": args.steps,
+        "echo_only_erle_stage1_db": round(float(e1), 2),
+        "echo_only_erle_two_stage_db": round(float(e2), 2),
+        "double_talk_sisnr_linear_db": round(float(s1), 2),
+        "double_talk_sisnr_enhanced_db": round(float(s2), 2),
+    }
+    checkpoints.save(args.out, {"params": params}, info)
+    print(json.dumps(info))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,32 @@ def test_train_cli_two_layer_gru(tmp_path, rng):
     assert os.path.isfile(os.path.join(ckpt_dir, "models", "latest.npz"))
 
 
+def test_batch_enhance_cli(tmp_path, rng):
+    from aec_tpu.cli import batch_enhance
+
+    wav_dir = str(tmp_path / "wavs")
+    h5_dir = str(tmp_path / "h5")
+    lists = str(tmp_path / "lists")
+    _make_wavs(wav_dir, rng)
+    prepare_data.main(["test", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    # save a fresh-init checkpoint to load
+    import jax
+    from aec_tpu.models.little_net import little_net_init
+    from aec_tpu.train import checkpoints
+
+    model = str(tmp_path / "m.npz")
+    checkpoints.save(model, {"params": little_net_init(jax.random.PRNGKey(0))})
+    out_dir = str(tmp_path / "bulk")
+    batch_enhance.main([
+        "--tt_list", os.path.join(lists, "tt_list.txt"),
+        "--model_file", model, "--out_dir", out_dir,
+        "--batch", "2", "--bucket", "8192", "--mesh",
+    ])
+    for k in range(2):
+        wav, sr = read_wav(os.path.join(out_dir, f"{k}_enhanced.wav"))
+        assert sr == 16000 and wav.shape == (8192,)
+
+
 def test_stoi_properties(rng):
     t = np.arange(32000) / 16000.0
     # modulated tone stack ~ speech-ish envelope
