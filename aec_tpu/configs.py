@@ -9,7 +9,6 @@ static args under ``jax.jit``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -119,7 +119,7 @@ class DctCnnConfig:
 
 
 def cnn_init(key: jax.Array, cfg: DctCnnConfig = DctCnnConfig(), dtype=jnp.float32):
-    from aec_tpu.ops.complex_layers import batch_norm_init, prelu_init
+    from aec_tpu.ops.complex_layers import prelu_init
 
     chans = cfg.channels
     n_layers = len(chans) - 1

@@ -41,7 +41,6 @@ from aec_tpu.dsp.stft import (
     synthesis_matrix,
 )
 from aec_tpu.dsp.windows import periodic_window
-from aec_tpu.linear import overlap_save as ols
 from aec_tpu.linear.kalman import kalman_init, kalman_step
 from aec_tpu.linear.nlms import nlms_init, nlms_step
 from aec_tpu.models.little_net import LittleNetParams
