@@ -41,7 +41,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out_dir", default="demo_out")
     p.add_argument("--seconds", type=float, default=8.0)
-    p.add_argument("--model_file", default="", help="optional trained checkpoint (.npz or reference .pt)")
+    p.add_argument("--model_file",
+                   default=os.path.join(os.path.dirname(__file__), "..", "checkpoints", "little_net_synthetic.npz"),
+                   help="trained checkpoint (.npz or reference .pt); '' = random init")
     p.add_argument("--echo_gain", type=float, default=0.7)
     args = p.parse_args()
 

@@ -48,23 +48,35 @@ def make_scene_fn(n: int, rir_len: int = 1600, sr: int = 16000):
         return out / (jnp.max(jnp.abs(out), axis=-1, keepdims=True) + 1e-9)
 
     def scenes(key, b):
-        k_far, k_near, k_rir, k_gain, k_snr = jax.random.split(key, 5)
+        k_far, k_near, k_rir, k_gain, k_snr, k_act, k_tilt = jax.random.split(key, 7)
         far = speech_shaped(k_far, b)
+        # near-end: distinct random spectral emphasis + intermittent activity
         near = speech_shaped(k_near, b)
+        f = jnp.fft.rfftfreq(n, 1.0 / sr)
+        center = jax.random.uniform(k_tilt, (b, 1), minval=300.0, maxval=3000.0)
+        emphasis = jnp.exp(-((jnp.log(f[None, :] + 30.0) - jnp.log(center)) ** 2))
+        near = jnp.fft.irfft(jnp.fft.rfft(near) * emphasis, n=n)
+        near = near / (jnp.max(jnp.abs(near), axis=-1, keepdims=True) + 1e-9)
+        # ~30% of scenes have a silent near end (teaches full suppression)
+        active = (jax.random.uniform(k_act, (b, 1)) < 0.7).astype(jnp.float32)
+
         decay = jax.random.uniform(k_rir, (b, 1), minval=100.0, maxval=500.0)
         rir = jax.random.normal(k_rir, (b, rir_len)) * jnp.exp(
             -jnp.arange(rir_len) / decay
         )
         rir = rir / (jnp.max(jnp.abs(rir), axis=-1, keepdims=True) + 1e-9)
         gain = jax.random.uniform(k_gain, (b, 1), minval=0.3, maxval=1.0)
-        # linear convolution via zero-padded FFT
-        m = n + rir_len
+        m = n + rir_len  # linear convolution via zero-padded FFT
         echo = jnp.fft.irfft(
             jnp.fft.rfft(far, n=m) * jnp.fft.rfft(gain * rir, n=m), n=m
         )[:, :n]
-        near_gain = jax.random.uniform(k_snr, (b, 1), minval=0.1, maxval=0.5)
-        mic = echo + near_gain * near
-        return far, mic, near_gain * near
+        near_gain = active * jax.random.uniform(k_snr, (b, 1), minval=0.2, maxval=0.8)
+        near = near_gain * near
+        mic = echo + near
+        # joint level normalization (stable net input scale; preserves the
+        # mic/near relationship the loss needs)
+        scale = 1.0 / (jnp.max(jnp.abs(mic), axis=-1, keepdims=True) + 1e-9)
+        return far, mic * scale, near * scale
 
     return scenes
 
@@ -116,15 +128,21 @@ def main() -> None:
     from aec_tpu.models.little_net import little_net_apply
     from aec_tpu.train.metrics import si_snr
 
+    def _sisnr_active(est, near, half):
+        """Mean per-scene SI-SNR over scenes whose near end is active."""
+        per = jax.vmap(lambda e, t: si_snr(e[None, half:], t[None, half:]))(est, near)
+        act = (jnp.mean(near * near, axis=-1) > 1e-8).astype(jnp.float32)
+        return jnp.sum(per * act) / jnp.maximum(jnp.sum(act), 1.0)
+
     @jax.jit
     def eval_metrics(params, key):
         far, mic, near = scenes(key, 16)
         half = n // 2
-        # double-talk scene: SI-SNR of the enhanced output vs near-end
+        # double-talk scenes: SI-SNR of the enhanced output vs near-end
         lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
         enh = little_net_apply(params, lin, far, erb, scfg)["wav"]
-        sisnr_lin = si_snr(lin[:, half:], near[:, half:])
-        sisnr_enh = si_snr(enh[:, half:], near[:, half:])
+        sisnr_lin = _sisnr_active(lin, near, half)
+        sisnr_enh = _sisnr_active(enh, near, half)
         # echo-only scene: ERLE of stage-1 alone vs the full two-stage
         mic_e = mic - near
         lin_e = kalman_cancel(kcfg, far, mic_e, block=scfg.hop)["wav"]
