@@ -91,10 +91,19 @@ def main() -> None:
 
     lin = np.asarray(out["linear_wav"])
     tail = slice(n // 2, None)
+
+    # echo-only variant of the same scene: ERLE is meaningful there (in
+    # double talk, preserving near-end rightly LOWERS ERLE)
+    out_e = two_stage_cancel(
+        params, jnp.asarray(far), jnp.asarray(echo), erb,
+        stage1="kalman", lin_cfg=KalmanConfig(),
+    )
+    lin_e, enh_e = np.asarray(out_e["linear_wav"]), np.asarray(out_e["wav"])
     report = {
-        "erle_stage1_db": round(float(erle(jnp.asarray(mic[tail]), jnp.asarray(lin[tail]))), 2),
-        "erle_two_stage_db": round(float(erle(jnp.asarray(mic[tail]), jnp.asarray(enhanced[tail]))), 2),
-        "si_snr_linear_db": round(float(si_snr(jnp.asarray(lin[tail]), jnp.asarray(near[tail]))), 2),
+        "echo_only_erle_stage1_db": round(float(erle(jnp.asarray(echo[tail]), jnp.asarray(lin_e[tail]))), 2),
+        "echo_only_erle_two_stage_db": round(float(erle(jnp.asarray(echo[tail]), jnp.asarray(enh_e[tail]))), 2),
+        "double_talk_sisnr_linear_db": round(float(si_snr(jnp.asarray(lin[tail]), jnp.asarray(near[tail]))), 2),
+        "double_talk_sisnr_enhanced_db": round(float(si_snr(jnp.asarray(enhanced[tail]), jnp.asarray(near[tail]))), 2),
         "xrt": round(args.seconds / dt, 1),
     }
     os.makedirs(args.out_dir, exist_ok=True)
