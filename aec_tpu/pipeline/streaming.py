@@ -112,24 +112,16 @@ def _stage2_frame(
     return syn, h
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "stage1", "lin_cfg"))
-def stream_step(
+def _stream_step_core(
     params: LittleNetParams,
     state: StreamState,
     far_block: jax.Array,  # (hop,)
     mic_block: jax.Array,  # (hop,)
     erb: jax.Array,
-    cfg: StftConfig = StftConfig(),
-    *,
-    stage1: Literal["kalman", "nlms", "none"] = "kalman",
-    lin_cfg=None,
+    cfg: StftConfig,
+    stage1: str,
+    lin_cfg,
 ) -> tuple[StreamState, jax.Array]:
-    """Consume one hop of far/mic; emit one hop of enhanced audio.
-
-    The emitted block lags the input by one hop (algorithmic latency 16 ms).
-    The VERY FIRST emitted block is the offline path's trimmed left edge and
-    must be discarded by the caller (see ``stream_run``).
-    """
     # Stage 1 (causal, block-native).
     if stage1 == "kalman":
         x_t = jnp.fft.rfft(jnp.concatenate([state["prev_far"], far_block]))
@@ -162,6 +154,37 @@ def stream_step(
     return new_state, out_block
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "stage1", "lin_cfg"))
+def stream_step(
+    params: LittleNetParams,
+    state: StreamState,
+    far_block: jax.Array,  # (hop,)
+    mic_block: jax.Array,  # (hop,)
+    erb: jax.Array,
+    cfg: StftConfig = StftConfig(),
+    *,
+    stage1: Literal["kalman", "nlms", "none"] = "kalman",
+    lin_cfg=None,
+) -> tuple[StreamState, jax.Array]:
+    """Consume one hop of far/mic; emit one hop of enhanced audio.
+
+    The emitted block lags the input by one hop (algorithmic latency 16 ms).
+    The VERY FIRST emitted block is the offline path's trimmed left edge and
+    must be discarded by the caller (see ``stream_run``).
+
+    Implementation note: executed as a batch-of-1 vmap of the core — this
+    image's TPU backend lacks several rank-1 op lowerings (1-D FFT etc.),
+    and the batched form is what serving uses anyway.
+    """
+    state1, far1, mic1 = jax.tree.map(
+        lambda a: a[None], (state, far_block, mic_block)
+    )
+    new_state, out = jax.vmap(
+        lambda s, f, m: _stream_step_core(params, s, f, m, erb, cfg, stage1, lin_cfg)
+    )(state1, far1, mic1)
+    return jax.tree.map(lambda a: a[0], new_state), out[0]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def stream_flush(
     params: LittleNetParams,
@@ -171,12 +194,59 @@ def stream_flush(
 ) -> jax.Array:
     """End of stream: process the implicit trailing zero block (the offline
     path's right pad) and emit the final output block."""
-    zero = jnp.zeros((cfg.hop,), jnp.float32)
-    lin_frame = jnp.concatenate([state["prev_lin"], zero])
-    far_frame = jnp.concatenate([state["prev_far"], zero])
-    syn, _ = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
-    env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
-    return (state["syn_tail"] + syn[: cfg.hop]) / (env + 1e-8) + 1e-9
+
+    def core(state):
+        zero = jnp.zeros((cfg.hop,), jnp.float32)
+        lin_frame = jnp.concatenate([state["prev_lin"], zero])
+        far_frame = jnp.concatenate([state["prev_far"], zero])
+        syn, _ = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
+        env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
+        return (state["syn_tail"] + syn[: cfg.hop]) / (env + 1e-8) + 1e-9
+
+    # batch-of-1 vmap: rank-1 lowering gaps on this TPU backend (see
+    # stream_step)
+    return jax.vmap(core)(jax.tree.map(lambda a: a[None], state))[0]
+
+
+def stream_init_batched(
+    n_streams: int,
+    erb_bands: int = 32,
+    cfg: StftConfig = StftConfig(),
+    *,
+    stage1: Literal["kalman", "nlms", "none"] = "kalman",
+    lin_cfg=None,
+) -> StreamState:
+    """State for ``n_streams`` concurrent calls (leading axis = stream)."""
+    one = stream_init(erb_bands, cfg, stage1=stage1, lin_cfg=lin_cfg)
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_streams, *a.shape)).copy(), one
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stage1", "lin_cfg"))
+def stream_step_batched(
+    params: LittleNetParams,
+    state: StreamState,  # leading stream axis on every leaf
+    far_block: jax.Array,  # (S, hop)
+    mic_block: jax.Array,  # (S, hop)
+    erb: jax.Array,
+    cfg: StftConfig = StftConfig(),
+    *,
+    stage1: Literal["kalman", "nlms", "none"] = "kalman",
+    lin_cfg=None,
+) -> tuple[StreamState, jax.Array]:
+    """One 16 ms hop for MANY concurrent streams (the serving hot loop).
+
+    vmap over the stream axis: every per-stream filter state, GRU state and
+    OLA tail advances in parallel — one device program per audio block,
+    thousands of live calls per chip (see benchmarks/baseline_configs.py
+    'concurrent_streams').
+    """
+    return jax.vmap(
+        lambda s, f, m: _stream_step_core(
+            params, s, f, m, erb, cfg, stage1, lin_cfg
+        )
+    )(state, far_block, mic_block)
 
 
 def stream_run(

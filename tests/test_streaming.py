@@ -55,6 +55,37 @@ def test_two_stage_streaming_equals_offline(rng):
     np.testing.assert_allclose(streamed, np.asarray(offline), atol=2e-3 * scale)
 
 
+def test_batched_streaming_matches_single(rng):
+    from aec_tpu.pipeline.streaming import (
+        stream_init,
+        stream_init_batched,
+        stream_step,
+        stream_step_batched,
+    )
+
+    params = little_net_init(jax.random.PRNGKey(10))
+    erb = jnp.asarray(erb_filterbank())
+    s, hop = 3, 256
+    far = rng.standard_normal((s, 4, hop)).astype(np.float32)
+    mic = rng.standard_normal((s, 4, hop)).astype(np.float32)
+
+    bstate = stream_init_batched(s, stage1="kalman")
+    bouts = []
+    for t in range(4):
+        bstate, out = stream_step_batched(
+            params, bstate, jnp.asarray(far[:, t]), jnp.asarray(mic[:, t]), erb
+        )
+        bouts.append(np.asarray(out))
+
+    for i in range(s):
+        st = stream_init(stage1="kalman")
+        for t in range(4):
+            st, out = stream_step(
+                params, st, jnp.asarray(far[i, t]), jnp.asarray(mic[i, t]), erb
+            )
+            np.testing.assert_allclose(bouts[t][i], np.asarray(out), atol=2e-3)
+
+
 def test_two_stage_reduces_echo(rng):
     # echo-only scene: the full pipeline should attenuate substantially
     params = little_net_init(jax.random.PRNGKey(9))
