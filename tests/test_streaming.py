@@ -86,6 +86,32 @@ def test_batched_streaming_matches_single(rng):
             np.testing.assert_allclose(bouts[t][i], np.asarray(out), atol=2e-3)
 
 
+def test_two_stage_fast_mode(rng):
+    # fast=True (bf16-pass stage-1 matmuls) must stay close to full precision
+    params = little_net_init(jax.random.PRNGKey(11))
+    erb = jnp.asarray(erb_filterbank())
+    n = 16 * 256
+    far, mic = _scene(rng, n)
+    full = two_stage_cancel(params, jnp.asarray(far), jnp.asarray(mic), erb)
+    fast = two_stage_cancel(params, jnp.asarray(far), jnp.asarray(mic), erb, fast=True)
+    scale = float(np.max(np.abs(np.asarray(full["wav"])))) + 1e-9
+    # on CPU both run fp32; on TPU fast mode diverges at the bf16 level
+    np.testing.assert_allclose(
+        np.asarray(fast["wav"]), np.asarray(full["wav"]), atol=5e-2 * scale
+    )
+
+
+def test_profiler_trace(tmp_path):
+    from aec_tpu.utils.profiling import trace
+
+    f = jax.jit(lambda x: (x * 2).sum())
+    with trace(str(tmp_path / "trc")):
+        jax.block_until_ready(f(jnp.ones((128,))))
+    import glob
+
+    assert glob.glob(str(tmp_path / "trc" / "**" / "*"), recursive=True)
+
+
 def test_two_stage_reduces_echo(rng):
     # echo-only scene: the full pipeline should attenuate substantially
     params = little_net_init(jax.random.PRNGKey(9))
