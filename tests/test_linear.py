@@ -123,6 +123,24 @@ def test_batched_vmap_matches_single(rng):
         np.testing.assert_allclose(np.asarray(batched[b]), np.asarray(single), atol=1e-3)
 
 
+def test_kalman_tracks_echo_path_change(rng):
+    # abrupt RIR switch mid-signal: the Kalman filter must re-converge
+    # (the a<1 drift model keeps covariance alive — this is why it exists)
+    n = 8 * 16384
+    far = rng.standard_normal(n).astype(np.float32)
+    rir1 = (np.exp(-np.arange(800) / 120.0) * rng.standard_normal(800)).astype(np.float32)
+    rir2 = (np.exp(-np.arange(800) / 120.0) * rng.standard_normal(800)).astype(np.float32)
+    echo1 = np.convolve(far, 0.5 * rir1)[:n]
+    echo2 = np.convolve(far, 0.5 * rir2)[:n]
+    half = n // 2
+    mic = np.where(np.arange(n) < half, echo1, echo2).astype(np.float32)
+    out = kalman_cancel(KalmanConfig(), jnp.asarray(far), jnp.asarray(mic))
+    e = np.asarray(out["wav"])
+    final = slice(-16384, None)
+    final_erle = float(erle(jnp.asarray(mic[final]), jnp.asarray(e[final])))
+    assert final_erle > 20.0, f"no re-convergence after path change: {final_erle:.1f} dB"
+
+
 def test_identifies_short_rir_exactly(rng):
     # RIR shorter than one partition, echo-only: near-perfect cancellation
     far, mic, _ = _echo_scene(rng, n=4 * 16384, rir_len=200)
