@@ -36,10 +36,19 @@ class FullSubNetConfig:
     fb_hidden: int = 256
     sb_hidden: int = 96
     neighborhood: int = 5  # sub-band context: +-neighborhood bins
+    # append mel-filterbank energies to the full-band input — the reference
+    # driver passes a 21-filter bank into the net (models.py:117,192)
+    use_mel: bool = False
+    mel_filters: int = 21
 
     @property
     def n_freqs(self) -> int:
         return self.stft.n_freqs  # 161
+
+    @property
+    def fb_input(self) -> int:
+        base = 2 * self.n_freqs
+        return base + (2 * self.mel_filters if self.use_mel else 0)
 
     @property
     def sb_input(self) -> int:
@@ -61,7 +70,7 @@ def fullsubnet_init(key: jax.Array, cfg: FullSubNetConfig = FullSubNetConfig(), 
         }
 
     return {
-        "fb_lstm": lstm_init(k_fb, 2 * f, cfg.fb_hidden, dtype),
+        "fb_lstm": lstm_init(k_fb, cfg.fb_input, cfg.fb_hidden, dtype),
         "fb_out": linear(k_fbo, cfg.fb_hidden, f),
         "sb_lstm": lstm_init(k_sb, cfg.sb_input, cfg.sb_hidden, dtype),
         "sb_out": linear(k_sbo, cfg.sb_hidden, 2),  # (mask_near, mask_echo)
@@ -81,7 +90,15 @@ def fullsubnet_masks(
     """Magnitudes [B, T, F] -> (mask_near, mask_echo) in [0, 1]^[B, T, F]."""
     b, t, f = mic_mag.shape
     # full-band stage
-    fb_in = jnp.concatenate([mic_mag, ref_mag], axis=-1)  # [B, T, 2F]
+    fb_parts = [mic_mag, ref_mag]
+    if cfg.use_mel:
+        from aec_tpu.dsp.mel import mel_filterbank
+
+        mel = jnp.asarray(
+            mel_filterbank(cfg.mel_filters, cfg.stft.fft_len), dtype=mic_mag.dtype
+        )
+        fb_parts += [mic_mag @ mel, ref_mag @ mel]
+    fb_in = jnp.concatenate(fb_parts, axis=-1)  # [B, T, fb_input]
     fb_seq, _ = lstm_scan(params["fb_lstm"], fb_in)
     fb_emb = jax.nn.relu(
         fb_seq @ params["fb_out"]["w"].T + params["fb_out"]["b"]

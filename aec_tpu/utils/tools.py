@@ -44,6 +44,16 @@ def count_frames(n_samples: int, win_size: int, hop_size: int) -> int:
     return int((n_samples - n_overlap) // hop_size) + 1
 
 
+def loss_mask(shape, n_frames) -> np.ndarray:
+    """Per-sequence frame validity mask (tools.py:35-39; unused on the
+    reference's live path but part of its utility surface): 1.0 for frames
+    < seq_len, else 0. ``shape`` = (B, T, F)."""
+    mask = np.zeros(shape, dtype=np.float32)
+    for i, seq_len in enumerate(n_frames):
+        mask[i, : int(seq_len), :] = 1.0
+    return mask
+
+
 def loss_log(path: str, ckpt_info: dict, metrics: dict) -> None:
     """Append an epoch/iter metrics record (tools.py:42-48 format)."""
     with open(path, "a") as f:

@@ -38,6 +38,17 @@ def test_fullsubnet_dual_mask_contract(rng):
     assert bool(jnp.isfinite(out["echo_wav"]).all())
 
 
+def test_fullsubnet_with_mel_features(rng):
+    cfg = FullSubNetConfig(fb_hidden=32, sb_hidden=16, use_mel=True)
+    assert cfg.fb_input == 2 * 161 + 2 * 21
+    params = fullsubnet_init(jax.random.PRNGKey(2), cfg)
+    mic = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
+    out = fullsubnet_apply(params, mic, ref, cfg)
+    assert out["wav"].shape == (1, 3200)
+    assert bool(jnp.isfinite(out["wav"]).all())
+
+
 def test_fullsubnet_loss_trains(rng):
     import optax
 
