@@ -170,9 +170,7 @@ def kalman_cancel_fused(
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
-    frames = ols.frame_signal(jnp.pad(farp, (block, 0)), 2 * block, block)
-    fwd, _, _ = ols._dft_mats(block)
-    x_ri = jnp.matmul(frames, jnp.asarray(fwd), precision=jax.lax.Precision.HIGHEST)
+    x_ri = ols.far_end_spectra(farp[None], block)[0]
     d_blocks = micp.reshape(-1, block)
     e = kalman_filter_fused(cfg, x_ri, d_blocks, block=block, interpret=interpret)
     return {"wav": e.reshape(-1)[:n]}

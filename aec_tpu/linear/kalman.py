@@ -7,7 +7,8 @@ Enzner & Vary (2006) / Kuech, Mabande & Enzner (2014), on the same
 overlap-save (MDF) structure as :mod:`aec_tpu.linear.nlms` so linear
 convolution is modeled exactly. TPU-first: one ``lax.scan`` over blocks;
 every per-frame quantity is elementwise over the (L partitions x K bins)
-grid plus one reduction over L; utterance batching via ``jax.vmap``.
+grid plus one reduction over L; spectra/state are REAL ``[re || im]`` arrays
+(see overlap_save.py — no complex dtype); utterance batching via ``vmap``.
 
 Per bin k, partitions l, diagonal covariance P[l,k] (real):
 
@@ -35,20 +36,20 @@ from aec_tpu.linear import overlap_save as ols
 
 
 class KalmanState(TypedDict):
-    w: jax.Array  # (L, K) complex64 — echo-path estimate per partition/bin
+    w: jax.Array  # (L, 2K) float32 ri — echo-path estimate per partition/bin
     p: jax.Array  # (L, K) float32 — diagonal state covariance
-    x_buf: jax.Array  # (L, K) complex64 — far-end history, 0 = newest
+    x_buf: jax.Array  # (L, 2K) float32 ri — far-end history, 0 = newest
     psi: jax.Array  # (K,) float32 — observation-noise psd estimate
 
 
 def kalman_init(
-    cfg: KalmanConfig, n_freqs: int = 257, dtype=jnp.complex64
+    cfg: KalmanConfig, n_freqs: int = 257, dtype=jnp.float32
 ) -> KalmanState:
     return KalmanState(
-        w=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
-        p=jnp.full((cfg.n_blocks, n_freqs), cfg.init_p, dtype=jnp.float32),
-        x_buf=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
-        psi=jnp.full((n_freqs,), cfg.psi_floor, dtype=jnp.float32),
+        w=jnp.zeros((cfg.n_blocks, 2 * n_freqs), dtype=dtype),
+        p=jnp.full((cfg.n_blocks, n_freqs), cfg.init_p, dtype=dtype),
+        x_buf=jnp.zeros((cfg.n_blocks, 2 * n_freqs), dtype=dtype),
+        psi=jnp.full((n_freqs,), cfg.psi_floor, dtype=dtype),
     )
 
 
@@ -62,32 +63,38 @@ def kalman_step(
     constrain: bool = True,
     precision=None,
 ) -> tuple[KalmanState, jax.Array]:
-    """One block update; far spectrum [K], mic time block [B] -> e block."""
+    """One block update; far frame ri spectrum [2K], mic block [B] -> e [B]."""
+    precision = precision or ols._HIGHEST
     x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
+    xr, xi = ols.ri_split(x_buf)  # (L, K)
     a2 = cfg.a * cfg.a
 
     # Predict.
-    w_pred = cfg.a * state["w"]
-    w_mag2 = jnp.real(state["w"]) ** 2 + jnp.imag(state["w"]) ** 2
-    p_pred = a2 * state["p"] + (1.0 - a2) * w_mag2
+    wr, wi = ols.ri_split(state["w"])
+    wr_p, wi_p = cfg.a * wr, cfg.a * wi
+    p_pred = a2 * state["p"] + (1.0 - a2) * (wr * wr + wi * wi)
 
     # Prior residual (overlap-save time domain), then its spectrum.
-    y_spec = jnp.sum(w_pred * x_buf, axis=0)
-    precision = precision or ols._HIGHEST
-    e_block = d_t - ols.spectrum_to_block(y_spec, block, precision)
-    e_spec = ols.block_to_spectrum(e_block, block, precision)
-    e_mag2 = jnp.real(e_spec) ** 2 + jnp.imag(e_spec) ** 2
-    psi = cfg.obs_smooth * state["psi"] + (1.0 - cfg.obs_smooth) * e_mag2
+    y_ri = ols.ri_join(
+        jnp.sum(wr_p * xr - wi_p * xi, axis=0), jnp.sum(wr_p * xi + wi_p * xr, axis=0)
+    )
+    e_block = d_t - ols.spectrum_to_block(y_ri, block, precision)
+    e_ri = ols.block_to_spectrum(e_block, block, precision)
+    er, ei = ols.ri_split(e_ri)
+    psi = cfg.obs_smooth * state["psi"] + (1.0 - cfg.obs_smooth) * (er * er + ei * ei)
     psi = jnp.maximum(psi, cfg.psi_floor)
 
-    # Gain and update.
-    x_mag2 = jnp.real(x_buf) ** 2 + jnp.imag(x_buf) ** 2  # (L, K)
+    # Gain and update: upd = P- conj(X) E / den (complex mult, per partition).
+    x_mag2 = xr * xr + xi * xi  # (L, K)
     den = jnp.sum(x_mag2 * p_pred, axis=0) + 2.0 * psi  # (K,)
-    upd = p_pred * jnp.conj(x_buf) * (e_spec / den)[None, :]  # (L, K)
+    er_d, ei_d = er / den, ei / den
+    upd = ols.ri_join(
+        p_pred * (xr * er_d + xi * ei_d), p_pred * (xr * ei_d - xi * er_d)
+    )
     if constrain:
         upd = ols.constrain_gradient(upd, block, precision)
-    w = w_pred + upd
-    p = p_pred * (1.0 - p_pred * x_mag2 / den[None, :])
+    w = ols.ri_join(wr_p, wi_p) + upd
+    p = p_pred * (1.0 - p_pred * x_mag2 / den)
     p = jnp.maximum(p, cfg.psi_floor)
 
     return KalmanState(w=w, p=p, x_buf=x_buf, psi=psi), e_block
@@ -103,13 +110,15 @@ def kalman_filter(
     constrain: bool = True,
     precision=None,
 ) -> tuple[jax.Array, KalmanState]:
-    """Filter sequences: far spectra [T, K], mic blocks [T, B] -> e [T, B]."""
+    """Filter sequences: far ri spectra [T, 2K], mic blocks [T, B] -> e [T, B]."""
     if state is None:
-        state = kalman_init(cfg, x_spec.shape[-1], dtype=x_spec.dtype)
+        state = kalman_init(cfg, x_spec.shape[-1] // 2, dtype=x_spec.dtype)
 
     def step(s, xd):
         x_t, d_t = xd
-        s, e_t = kalman_step(cfg, s, x_t, d_t, block=block, constrain=constrain, precision=precision)
+        s, e_t = kalman_step(
+            cfg, s, x_t, d_t, block=block, constrain=constrain, precision=precision
+        )
         return s, e_t
 
     state, e_blocks = jax.lax.scan(step, state, (x_spec, d_blocks))
@@ -140,7 +149,9 @@ def kalman_cancel(
     d_blocks = ols.mic_blocks(micp, block)
 
     e_blocks, state = jax.vmap(
-        lambda x, d: kalman_filter(cfg, x, d, block=block, constrain=constrain, precision=precision)
+        lambda x, d: kalman_filter(
+            cfg, x, d, block=block, constrain=constrain, precision=precision
+        )
     )(x_spec, d_blocks)
     wav = e_blocks.reshape(e_blocks.shape[0], -1)[:, :n]
     if not batched:

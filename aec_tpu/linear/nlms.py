@@ -9,9 +9,11 @@ algorithm (multidelay block frequency-domain adaptive filter, Soo & Pang
 - the per-frame update is a pure function of a small state pytree; the frame
   recursion is ``lax.scan`` with ALL frequency bins and ALL partitions
   updated in parallel per step (VPU elementwise + one reduction over
-  partitions + two N=512 FFTs);
+  partitions + three DFT-basis matmuls);
 - overlap-save structure models true linear convolution (high ERLE), with
   the optional gradient constraint (exact MDF) on by default;
+- spectra/state are REAL ``[re || im]`` arrays (see overlap_save.py) — no
+  complex dtype anywhere;
 - batching over utterances is ``jax.vmap``; multi-chip scale-out shards the
   utterance axis (embarrassingly parallel).
 
@@ -31,16 +33,16 @@ from aec_tpu.linear import overlap_save as ols
 
 
 class NlmsState(TypedDict):
-    w: jax.Array  # (L, K) complex64 — filter partitions per bin
-    x_buf: jax.Array  # (L, K) complex64 — far-end history, index 0 = newest
+    w: jax.Array  # (L, 2K) float32 ri — filter partitions per bin
+    x_buf: jax.Array  # (L, 2K) float32 ri — far-end history, index 0 = newest
     power: jax.Array  # (K,) float32 — smoothed total far-end power
 
 
-def nlms_init(cfg: NlmsConfig, n_freqs: int = 257, dtype=jnp.complex64) -> NlmsState:
+def nlms_init(cfg: NlmsConfig, n_freqs: int = 257, dtype=jnp.float32) -> NlmsState:
     return NlmsState(
-        w=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
-        x_buf=jnp.zeros((cfg.n_blocks, n_freqs), dtype=dtype),
-        power=jnp.zeros((n_freqs,), dtype=jnp.float32),
+        w=jnp.zeros((cfg.n_blocks, 2 * n_freqs), dtype=dtype),
+        x_buf=jnp.zeros((cfg.n_blocks, 2 * n_freqs), dtype=dtype),
+        power=jnp.zeros((n_freqs,), dtype=dtype),
     )
 
 
@@ -54,20 +56,27 @@ def nlms_step(
     constrain: bool = True,
     precision=None,
 ) -> tuple[NlmsState, jax.Array]:
-    """One block: far spectrum ``x_t`` [K], mic time block ``d_t`` [B].
+    """One block: far frame ri spectrum ``x_t`` [2K], mic time block [B].
 
     Returns (new_state, e_block [B]) — the echo-cancelled time samples.
     """
+    precision = precision or ols._HIGHEST
     x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
-    inst_power = jnp.sum(jnp.real(x_buf) ** 2 + jnp.imag(x_buf) ** 2, axis=0)
+    xr, xi = ols.ri_split(x_buf)  # (L, K) each
+    inst_power = jnp.sum(xr * xr + xi * xi, axis=0)
     power = cfg.power_smooth * state["power"] + (1.0 - cfg.power_smooth) * inst_power
 
-    y_spec = jnp.sum(state["w"] * x_buf, axis=0)  # (K,)
-    precision = precision or ols._HIGHEST
-    e_block = d_t - ols.spectrum_to_block(y_spec, block, precision)  # (B,)
-    e_spec = ols.block_to_spectrum(e_block, block, precision)  # (K,)
+    wr, wi = ols.ri_split(state["w"])
+    y_ri = ols.ri_join(
+        jnp.sum(wr * xr - wi * xi, axis=0), jnp.sum(wr * xi + wi * xr, axis=0)
+    )
+    e_block = d_t - ols.spectrum_to_block(y_ri, block, precision)  # (B,)
+    e_ri = ols.block_to_spectrum(e_block, block, precision)  # (2K,)
+    er, ei = ols.ri_split(e_ri)
 
-    grad = jnp.conj(x_buf) * e_spec[None, :] / (power + cfg.eps)[None, :]
+    # conj(X) * E / power  (complex multiply with conjugated X, per partition)
+    inv_p = 1.0 / (power + cfg.eps)
+    grad = ols.ri_join((xr * er + xi * ei) * inv_p, (xr * ei - xi * er) * inv_p)
     if constrain:
         grad = ols.constrain_gradient(grad, block, precision)
     w = state["w"] + cfg.mu * grad
@@ -84,13 +93,15 @@ def nlms_filter(
     constrain: bool = True,
     precision=None,
 ) -> tuple[jax.Array, NlmsState]:
-    """Filter sequences: far spectra [T, K], mic blocks [T, B] -> e [T, B]."""
+    """Filter sequences: far ri spectra [T, 2K], mic blocks [T, B] -> e [T, B]."""
     if state is None:
-        state = nlms_init(cfg, x_spec.shape[-1], dtype=x_spec.dtype)
+        state = nlms_init(cfg, x_spec.shape[-1] // 2, dtype=x_spec.dtype)
 
     def step(s, xd):
         x_t, d_t = xd
-        s, e_t = nlms_step(cfg, s, x_t, d_t, block=block, constrain=constrain, precision=precision)
+        s, e_t = nlms_step(
+            cfg, s, x_t, d_t, block=block, constrain=constrain, precision=precision
+        )
         return s, e_t
 
     state, e_blocks = jax.lax.scan(step, state, (x_spec, d_blocks))
@@ -122,11 +133,13 @@ def nlms_cancel(
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
-    x_spec = ols.far_end_spectra(farp, block)  # [B, T, K]
+    x_spec = ols.far_end_spectra(farp, block)  # [B, T, 2K]
     d_blocks = ols.mic_blocks(micp, block)  # [B, T, Bk]
 
     e_blocks, state = jax.vmap(
-        lambda x, d: nlms_filter(cfg, x, d, block=block, constrain=constrain, precision=precision)
+        lambda x, d: nlms_filter(
+            cfg, x, d, block=block, constrain=constrain, precision=precision
+        )
     )(x_spec, d_blocks)
     wav = e_blocks.reshape(e_blocks.shape[0], -1)[:, :n]
     if not batched:

@@ -7,6 +7,15 @@ the filter output is the LAST B samples of the inverse FFT (overlap-save),
 which models true linear convolution exactly — unlike multiplicative
 filtering in a windowed-STFT domain, which leaks and caps ERLE.
 
+SPECTRUM REPRESENTATION: all spectra here are REAL arrays in "ri" layout —
+``[..., 2K]`` with real parts in columns [0, K) and imaginary in [K, 2K)
+(K = N/2 + 1). Two reasons, both TPU-first: (a) every transform becomes a
+fixed DFT-basis matmul on the MXU (the gradient constraint collapses to ONE
+precomputed (2K, 2K) projection — measured ~1.5x faster than jnp.fft in the
+scan on v5e); (b) no complex dtype anywhere — this image's TPU backend has
+no eager complex64 support at all, and XLA decomposes complex to real pairs
+internally anyway.
+
 All helpers are static-shape and jit/vmap-friendly. BASELINE.json config #1
 ("512-pt STFT, hop 256") corresponds to B=256, N=512.
 """
@@ -21,20 +30,13 @@ import numpy as np
 
 from aec_tpu.dsp.stft import frame_signal
 
-# Parity-grade fp32 matmuls (TPU would otherwise run bf16 passes).
+# Parity-grade fp32 matmuls (TPU would otherwise use bf16 passes).
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 @functools.lru_cache(maxsize=8)
 def _dft_mats(block: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Real matrices implementing the step's three transforms as matmuls.
-
-    On TPU the per-frame FFTs of the adaptive-filter recursion are tiny
-    (N = 2*block = 512); expressing them as fixed DFT-basis matmuls keeps
-    the scan body on the MXU and — crucially — collapses the overlap-save
-    gradient constraint (irfft -> zero tail -> rfft) into ONE precomputed
-    (2K, 2K) projection. Measured ~1.5x faster end-to-end than jnp.fft
-    inside the scan on v5e.
 
     Returns (fwd [N, 2K], inv_tail [2K, block], constrain [2K, 2K]) where
     spectra are real-concatenated [re || im].
@@ -54,13 +56,19 @@ def _dft_mats(block: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def _ri(x: jax.Array) -> jax.Array:
-    return jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
-
-
-def _to_complex(x_ri: jax.Array) -> jax.Array:
+def ri_split(x_ri: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., 2K] -> ([..., K], [..., K]) real/imag halves."""
     k = x_ri.shape[-1] // 2
-    return jax.lax.complex(x_ri[..., :k], x_ri[..., k:])
+    return x_ri[..., :k], x_ri[..., k:]
+
+
+def ri_join(re: jax.Array, im: jax.Array) -> jax.Array:
+    return jnp.concatenate([re, im], axis=-1)
+
+
+def ri_from_complex(x) -> jax.Array:
+    """numpy/complex array -> ri layout (host-side test convenience)."""
+    return jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=-1)
 
 
 def block_count(n: int, block: int) -> int:
@@ -75,15 +83,25 @@ def pad_to_blocks(wav: jax.Array, block: int) -> jax.Array:
     return wav
 
 
-def far_end_spectra(far: jax.Array, block: int) -> jax.Array:
-    """[..., n] (n % block == 0) -> [..., T, N//2+1] rfft frames.
+def far_end_spectra(
+    far: jax.Array, block: int, precision=_HIGHEST
+) -> jax.Array:
+    """[..., n] (n % block == 0) -> [..., T, 2K] ri frames.
 
     Frame t covers samples [(t-1)B, (t+1)B) with a leading zero block, so
-    frame t is causally aligned with mic block t.
+    frame t is causally aligned with mic block t. Computed as one DFT-basis
+    matmul (no complex dtype, MXU-friendly).
     """
     farp = jnp.pad(far, [(0, 0)] * (far.ndim - 1) + [(block, 0)])
     frames = frame_signal(farp, 2 * block, block)  # [..., T, 2B]
-    return jnp.fft.rfft(frames, axis=-1)
+    fwd, _, _ = _dft_mats(block)
+    return jnp.matmul(frames, jnp.asarray(fwd), precision=precision)
+
+
+def frame_to_spectrum(frame: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
+    """[..., 2B] time frame -> [..., 2K] ri spectrum (streaming use)."""
+    fwd, _, _ = _dft_mats(block)
+    return jnp.matmul(frame, jnp.asarray(fwd), precision=precision)
 
 
 def mic_blocks(mic: jax.Array, block: int) -> jax.Array:
@@ -91,31 +109,28 @@ def mic_blocks(mic: jax.Array, block: int) -> jax.Array:
     return mic.reshape(*mic.shape[:-1], -1, block)
 
 
-def spectrum_to_block(y_spec: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
+def spectrum_to_block(y_ri: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
     """Last B samples of the inverse FFT — the linear-convolution output.
 
-    Implemented as one (2K, B) matmul (see ``_dft_mats``)."""
+    One (2K, B) matmul."""
     _, inv_tail, _ = _dft_mats(block)
-    return jnp.matmul(_ri(y_spec), jnp.asarray(inv_tail), precision=precision)
+    return jnp.matmul(y_ri, jnp.asarray(inv_tail), precision=precision)
 
 
 def block_to_spectrum(e_block: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
-    """rfft of [zeros_B || e_block] — overlap-save error spectrum.
+    """rfft of [zeros_B || e_block] -> ri spectrum.
 
     == e_block @ fwd[block:, :] (the zero half contributes nothing)."""
     fwd, _, _ = _dft_mats(block)
-    e_ri = jnp.matmul(e_block, jnp.asarray(fwd[block:, :]), precision=precision)
-    return _to_complex(e_ri)
+    return jnp.matmul(e_block, jnp.asarray(fwd[block:, :]), precision=precision)
 
 
-def constrain_gradient(g_spec: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
+def constrain_gradient(g_ri: jax.Array, block: int, precision=_HIGHEST) -> jax.Array:
     """Project per-partition updates onto causal B-tap time support.
 
     Mathematically irfft -> zero the last half -> rfft (the 'constrained'
     FDAF update; without it the filter models circular convolution and
     leaks) — collapsed into a single fixed (2K, 2K) projection matmul.
-    Applied over the last axis (frequency); any leading axes (partitions).
     """
     _, _, constrain = _dft_mats(block)
-    g_ri = jnp.matmul(_ri(g_spec), jnp.asarray(constrain), precision=precision)
-    return _to_complex(g_ri)
+    return jnp.matmul(g_ri, jnp.asarray(constrain), precision=precision)

@@ -41,6 +41,7 @@ from aec_tpu.dsp.stft import (
     synthesis_matrix,
 )
 from aec_tpu.dsp.windows import periodic_window
+from aec_tpu.linear import overlap_save as ols
 from aec_tpu.linear.kalman import kalman_init, kalman_step
 from aec_tpu.linear.nlms import nlms_init, nlms_step
 from aec_tpu.models.little_net import LittleNetParams
@@ -122,14 +123,19 @@ def _stream_step_core(
     stage1: str,
     lin_cfg,
 ) -> tuple[StreamState, jax.Array]:
-    # Stage 1 (causal, block-native).
+    # Stage 1 (causal, block-native). Far frame -> ri spectrum via the DFT
+    # basis matmul (overlap_save).
     if stage1 == "kalman":
-        x_t = jnp.fft.rfft(jnp.concatenate([state["prev_far"], far_block]))
+        x_t = ols.frame_to_spectrum(
+            jnp.concatenate([state["prev_far"], far_block]), cfg.hop
+        )
         s1, lin_block = kalman_step(
             lin_cfg or KalmanConfig(), state["stage1"], x_t, mic_block, block=cfg.hop
         )
     elif stage1 == "nlms":
-        x_t = jnp.fft.rfft(jnp.concatenate([state["prev_far"], far_block]))
+        x_t = ols.frame_to_spectrum(
+            jnp.concatenate([state["prev_far"], far_block]), cfg.hop
+        )
         s1, lin_block = nlms_step(
             lin_cfg or NlmsConfig(), state["stage1"], x_t, mic_block, block=cfg.hop
         )

@@ -100,7 +100,7 @@ def test_scan_equals_streaming_chunks(rng, which):
     else:
         cfg, init, filt = KalmanConfig(), kalman_init, kalman_filter
     full, _ = filt(cfg, jnp.asarray(x_spec), jnp.asarray(d_blocks))
-    st = init(cfg, x_spec.shape[-1])
+    st = init(cfg, x_spec.shape[-1] // 2)  # ri layout: last dim = 2K
     outs = []
     for lo in range(0, x_spec.shape[0], 17):
         e, st = filt(

@@ -44,11 +44,7 @@ def test_pipelined_kalman_matches_sequential(cpu_devices, rng):
         return kalman_step(cfg, state, x_t, d_t, block=256)
 
     s, t = 3, 16  # 3 utterances, 16 blocks -> 2 blocks/device
-    x_spec = jnp.asarray(
-        (rng.standard_normal((s, t, k)) + 1j * rng.standard_normal((s, t, k))).astype(
-            np.complex64
-        )
-    )
+    x_spec = jnp.asarray(rng.standard_normal((s, t, 2 * k)).astype(np.float32))
     d = jnp.asarray(rng.standard_normal((s, t, 256)).astype(np.float32))
     init = kalman_init(cfg, k)
 
