@@ -30,22 +30,37 @@ def main(argv=None) -> None:
     p.add_argument("--resume_model", type=str, default="")
     p.add_argument("--mesh", action="store_true", help="shard batches over all chips")
     p.add_argument("--model", type=str, default="little_net",
-                   choices=("little_net", "two_layer_gru"),
-                   help="stage-2 model family (stateless families; the "
-                        "DCCRN/ATT-CCRN BatchNorm families train via their "
-                        "module-level loss fns)")
+                   choices=("little_net", "two_layer_gru", "fullsubnet",
+                            "dccrn", "att_ccrn"),
+                   help="model family; little_net/two_layer_gru use the "
+                        "reference-cadence Trainer, the rest the generic "
+                        "stateful trainer")
     p.add_argument("--lr", type=float, default=TrainConfig.lr)
     p.add_argument("--batch_size", type=int, default=TrainConfig.batch_size)
     p.add_argument("--max_n_epochs", type=int, default=TrainConfig.max_n_epochs)
     args = p.parse_args(argv)
     logger.info("Arguments:\n%s", pprint.pformat(vars(args)))
 
-    from aec_tpu.models.registry import get_model
-
-    spec = get_model(args.model)
     cfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, max_n_epochs=args.max_n_epochs
     )
+    if args.model not in ("little_net", "two_layer_gru"):
+        from aec_tpu.train.generic import GenericTrainer
+
+        GenericTrainer(
+            model=args.model,
+            tr_list=read_filelist(args.tr_list),
+            cv_file=args.cv_file,
+            ckpt_dir=args.ckpt_dir,
+            cfg=cfg,
+            use_mesh=args.mesh,
+            resume_model=args.resume_model,
+        ).train()
+        return
+
+    from aec_tpu.models.registry import get_model
+
+    spec = get_model(args.model)
     trainer = Trainer(
         tr_list=read_filelist(args.tr_list),
         cv_file=args.cv_file,

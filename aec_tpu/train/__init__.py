@@ -1,3 +1,3 @@
-from aec_tpu.train import metrics, checkpoints, loop
+from aec_tpu.train import metrics, checkpoints, loop, generic, stoi
 
-__all__ = ["metrics", "checkpoints", "loop"]
+__all__ = ["metrics", "checkpoints", "loop", "generic", "stoi"]

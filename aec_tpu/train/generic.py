@@ -1,0 +1,223 @@
+"""Generic trainer: one epoch-loop driver for EVERY model family.
+
+The reference has one hand-written driver per model family (train1.py for
+LittleNet, the broken models.py for FullSubNet). Here a single orchestrator
+adapts the registry's families — stateless (LittleNet/TwoLayerGRU/DCT),
+stateless-with-echo (FullSubNet), and stateful BatchNorm models
+(DCCRN/ATT-CCRN) — to the same SPMD step/checkpoint/validation loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from aec_tpu.configs import TrainConfig
+from aec_tpu.dsp.erb import erb_filterbank
+from aec_tpu.dsp.stft import StftConfig
+from aec_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from aec_tpu.pipeline.datasets import EvalLoader, TrainLoader
+from aec_tpu.train import checkpoints
+from aec_tpu.train.loop import make_optimizer
+from aec_tpu.utils.tools import count_frames, get_logger, num_params
+
+
+@dataclasses.dataclass
+class ModelAdapter:
+    """Normalizes a model family to: init() -> (params, state|{}),
+    loss(params, state, mic, far, near, echo, train) -> (loss, new_state)."""
+
+    init: Callable[[jax.Array], tuple[Any, Any]]
+    loss: Callable[..., tuple[jax.Array, Any]]
+    stateful: bool
+
+
+def make_adapter(name: str, scfg: StftConfig = StftConfig()) -> ModelAdapter:
+    if name in ("little_net", "two_layer_gru"):
+        from aec_tpu.models.registry import get_model
+
+        spec = get_model(name)
+        erb = jnp.asarray(erb_filterbank(scfg.n_freqs, 16000, 32))
+
+        def init(key):
+            return spec.init(key), {}
+
+        def loss(params, state, mic, far, near, echo, train):
+            l, _ = spec.loss(params, mic, far, near, erb, scfg, sqrt_eps=1e-12)
+            return l, state
+
+        return ModelAdapter(init, loss, stateful=False)
+
+    if name == "fullsubnet":
+        from aec_tpu.models.fullsubnet import (
+            FullSubNetConfig,
+            fullsubnet_init,
+            fullsubnet_loss,
+        )
+
+        cfg = FullSubNetConfig()
+
+        def init(key):
+            return fullsubnet_init(key, cfg), {}
+
+        def loss(params, state, mic, far, near, echo, train):
+            l, _ = fullsubnet_loss(params, mic, far, near, echo, cfg)
+            return l, state
+
+        return ModelAdapter(init, loss, stateful=False)
+
+    if name == "dccrn":
+        from aec_tpu.models.dccrn import DccrnConfig, dccrn_init, dccrn_loss_v1
+
+        cfg = DccrnConfig()
+
+        def init(key):
+            return dccrn_init(key, cfg)
+
+        def loss(params, state, mic, far, near, echo, train):
+            l, aux = dccrn_loss_v1(params, state, mic, far, near, echo, cfg, train=train)
+            return l, aux["state"]
+
+        return ModelAdapter(init, loss, stateful=True)
+
+    if name == "att_ccrn":
+        from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_init, att_ccrn_loss
+
+        cfg = AttCcrnConfig()
+
+        def init(key):
+            return att_ccrn_init(key, cfg)
+
+        def loss(params, state, mic, far, near, echo, train):
+            l, aux = att_ccrn_loss(params, state, mic, far, near, cfg, train=train)
+            return l, aux["state"]
+
+        return ModelAdapter(init, loss, stateful=True)
+
+    raise KeyError(f"no training adapter for model {name!r}")
+
+
+@dataclasses.dataclass
+class GenericTrainer:
+    """Model-agnostic epoch loop with the reference cadence."""
+
+    model: str
+    tr_list: list[str]
+    cv_file: str
+    ckpt_dir: str
+    cfg: TrainConfig = TrainConfig()
+    scfg: StftConfig = StftConfig()
+    use_mesh: bool = False
+    bucket_quantum: int = 4096
+    resume_model: str = ""
+
+    def train(self) -> dict:
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        logger = get_logger(os.path.join(self.ckpt_dir, "train.log"), log_file=True)
+        adapter = make_adapter(self.model, self.scfg)
+
+        loader = TrainLoader(
+            self.tr_list, self.cfg.batch_size,
+            bucket_quantum=self.bucket_quantum, seed=self.cfg.seed,
+        )
+        cv_loader = EvalLoader(self.cv_file, batch_size=1)
+
+        params, model_state = adapter.init(jax.random.PRNGKey(self.cfg.seed))
+        steps_per_epoch = max(len(self.tr_list) // self.cfg.batch_size, 1)
+        optimizer = make_optimizer(self.cfg, steps_per_epoch)
+        opt_state = optimizer.init(params)
+        logger.info("model %s: %s params", self.model, f"{num_params(params):,d}")
+
+        mesh = make_mesh() if self.use_mesh else None
+
+        def step(params, opt_state, model_state, mic, far, near, echo):
+            def lf(p):
+                loss, new_state = adapter.loss(p, model_state, mic, far, near, echo, True)
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state2 = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, new_state, loss
+
+        if mesh is None:
+            train_step = jax.jit(step, donate_argnums=(0, 1, 2))
+        else:
+            dsh, rep = data_sharding(mesh), replicated(mesh)
+            train_step = jax.jit(
+                step,
+                in_shardings=(rep, rep, rep, dsh, dsh, dsh, dsh),
+                out_shardings=(rep, rep, rep, rep),
+                donate_argnums=(0, 1, 2),
+            )
+
+        eval_step = jax.jit(
+            lambda p, s, mic, far, near, echo: adapter.loss(
+                p, s, mic, far, near, echo, False
+            )[0]
+        )
+
+        ckpt_info = {"cur_epoch": 0, "cur_iter": 0, "best_loss": float("inf"),
+                     "model": self.model}
+        if self.resume_model:
+            template = {"params": params, "opt_state": opt_state,
+                        "model_state": model_state}
+            restored = checkpoints.restore(self.resume_model, template)
+            params, opt_state = restored["params"], restored["opt_state"]
+            model_state = restored["model_state"]
+            ckpt_info.update(checkpoints.load_info(self.resume_model))
+
+        logging_period = self.cfg.logging_period or max(
+            len(self.tr_list) // self.cfg.batch_size, 1
+        )
+        while ckpt_info["cur_epoch"] < self.cfg.max_n_epochs:
+            accu_loss, accu_frames = 0.0, 0
+            for n_iter, batch in enumerate(loader):
+                params, opt_state, model_state, loss = train_step(
+                    params, opt_state, model_state,
+                    jnp.asarray(batch["nearend_mic"]),
+                    jnp.asarray(batch["farend_speech"]),
+                    jnp.asarray(batch["nearend_speech"]),
+                    jnp.asarray(batch["echo"]),
+                )
+                n_frames = count_frames(batch["n_samples"], self.scfg.win_len, self.scfg.hop)
+                accu_loss += float(loss) * n_frames
+                accu_frames += n_frames
+                if (n_iter + 1) % logging_period == 0:
+                    cv_loss, cv_frames = 0.0, 0
+                    for egs in cv_loader:
+                        l = eval_step(
+                            params, model_state,
+                            jnp.asarray(egs["nearend_mic"]),
+                            jnp.asarray(egs["farend_speech"]),
+                            jnp.asarray(egs["nearend_speech"]),
+                            jnp.asarray(egs["echo"]),
+                        )
+                        f = count_frames(egs["n_samples"], self.scfg.win_len, self.scfg.hop)
+                        cv_loss += float(l) * f
+                        cv_frames += f
+                    cv_loss /= max(cv_frames, 1)
+                    ckpt_info.update(
+                        cur_iter=n_iter, tr_loss=accu_loss / accu_frames, cv_loss=cv_loss
+                    )
+                    is_best = cv_loss < ckpt_info["best_loss"]
+                    if is_best:
+                        ckpt_info["best_loss"] = cv_loss
+                    checkpoints.save_latest_best(
+                        os.path.join(self.ckpt_dir, "models"),
+                        {"params": params, "opt_state": opt_state,
+                         "model_state": model_state},
+                        ckpt_info, is_best,
+                    )
+                    logger.info(
+                        "epoch %d iter %d tr_loss %.4f cv_loss %.4f",
+                        ckpt_info["cur_epoch"] + 1, n_iter,
+                        ckpt_info["tr_loss"], cv_loss,
+                    )
+                    accu_loss, accu_frames = 0.0, 0
+            ckpt_info["cur_epoch"] += 1
+        return {"params": params, "model_state": model_state, "ckpt_info": ckpt_info}
