@@ -1,12 +1,14 @@
 """Inference / enhancement CLI (reference: scripts/test.py:70-212 Tester).
 
-Per utterance of each test ``.ex`` file, runs the post-filter (optionally
-preceded by stage-1 linear AEC — a capability the reference lacks) and
-writes five wavs: ``{k}_near_est/near/far/mic/echo.wav`` at 16 kHz
-(test.py:165-169 contract). Also accepts reference ``.pt`` checkpoints.
+Per utterance of each test ``.ex`` file, runs the selected post-filter
+family (optionally preceded by stage-1 linear AEC — a capability the
+reference lacks) and writes five wavs: ``{k}_near_est/near/far/mic/echo.wav``
+at 16 kHz (test.py:165-169 contract). Accepts this framework's ``.npz``
+checkpoints (any family) and the reference's pickled ``.pt`` (LittleNet).
 
   python -m aec_tpu.cli.infer --tt_list lists/tt_list.txt --ckpt_dir exp \
-      --model_file exp/models/best_loss.npz --est_path out [--stage1 kalman]
+      --model_file exp/models/best_loss.npz --est_path out \
+      [--model little_net] [--stage1 kalman]
 
 Note: the reference's loop has an indexing bug (always re-opens
 tt_list[0], test.py:138); we iterate every listed file.
@@ -25,11 +27,12 @@ import numpy as np
 from aec_tpu.configs import KalmanConfig, NlmsConfig
 from aec_tpu.dsp.erb import erb_filterbank
 from aec_tpu.dsp.stft import StftConfig
+from aec_tpu.linear.kalman import kalman_cancel
+from aec_tpu.linear.nlms import nlms_cancel
 from aec_tpu.models.little_net import little_net_init
 from aec_tpu.pipeline.audio_io import write_wav
 from aec_tpu.pipeline.datasets import EvalLoader
 from aec_tpu.pipeline.h5io import read_filelist
-from aec_tpu.pipeline.two_stage import two_stage_cancel
 from aec_tpu.train import checkpoints
 from aec_tpu.utils.tools import get_logger, num_params
 
@@ -37,6 +40,7 @@ logger = get_logger(__name__)
 
 
 def load_params(model_file: str):
+    """LittleNet loader (framework .npz or reference .pt)."""
     params = little_net_init(jax.random.PRNGKey(0))
     if model_file.endswith(".pt"):
         from aec_tpu.utils.torch_compat import (
@@ -49,6 +53,87 @@ def load_params(model_file: str):
     return checkpoints.restore(model_file, {"params": params})["params"]
 
 
+def _make_enhancer(model: str, model_file: str, stage1: str, scfg: StftConfig):
+    """Returns enhance(far [B,n], mic [B,n]) -> wav [B,n], loading weights."""
+    lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[stage1]
+
+    def stage1_fn(far, mic):
+        if stage1 == "kalman":
+            return kalman_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
+        if stage1 == "nlms":
+            return nlms_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
+        return mic
+
+    if model in ("little_net", "two_layer_gru"):
+        erb = jnp.asarray(erb_filterbank())
+        if model == "little_net":
+            from aec_tpu.models.little_net import little_net_apply as apply_fn
+
+            params = load_params(model_file)
+        else:
+            from aec_tpu.models.two_layer_gru import (
+                two_layer_gru_apply,
+                two_layer_gru_init,
+            )
+
+            params = checkpoints.restore(
+                model_file, {"params": two_layer_gru_init(jax.random.PRNGKey(0))}
+            )["params"]
+            apply_fn = lambda p, m, f, e, c, **kw: two_layer_gru_apply(p, m, f, e, c)
+
+        @jax.jit
+        def enhance(far, mic):
+            lin = stage1_fn(far, mic)
+            return apply_fn(params, lin, far, erb, scfg, normalize=False)["wav"]
+
+        return enhance, params
+
+    from aec_tpu.train.generic import make_adapter
+
+    adapter = make_adapter(model, scfg)
+    p0, s0 = adapter.init(jax.random.PRNGKey(0))
+    restored = checkpoints.restore(model_file, {"params": p0, "model_state": s0})
+    params, model_state = restored["params"], restored["model_state"]
+
+    if model == "fullsubnet":
+        from aec_tpu.models.fullsubnet import FullSubNetConfig, fullsubnet_apply
+
+        cfg = FullSubNetConfig()
+
+        @jax.jit
+        def enhance(far, mic):
+            lin = stage1_fn(far, mic)
+            return fullsubnet_apply(params, lin, far, cfg)["wav"]
+
+        return enhance, params
+
+    if model == "dccrn":
+        from aec_tpu.models.dccrn import DccrnConfig, dccrn_apply
+
+        cfg = DccrnConfig()
+
+        @jax.jit
+        def enhance(far, mic):
+            lin = stage1_fn(far, mic)
+            return dccrn_apply(params, model_state, lin, far, cfg, train=False)[0]["wav"]
+
+        return enhance, params
+
+    if model == "att_ccrn":
+        from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply
+
+        cfg = AttCcrnConfig()
+
+        @jax.jit
+        def enhance(far, mic):
+            lin = stage1_fn(far, mic)
+            return att_ccrn_apply(params, model_state, lin, far, cfg, train=False)[0]["wav"]
+
+        return enhance, params
+
+    raise KeyError(f"no inference adapter for model {model!r}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(
         description="Enhance test utterances and dump wavs",
@@ -59,10 +144,11 @@ def main(argv=None) -> None:
     p.add_argument("--model_file", type=str, required=True)
     p.add_argument("--est_path", type=str, required=True)
     p.add_argument("--filename_list", type=str, default="")
+    p.add_argument("--model", type=str, default="little_net",
+                   choices=("little_net", "two_layer_gru", "fullsubnet",
+                            "dccrn", "att_ccrn"))
     p.add_argument("--stage1", choices=("none", "kalman", "nlms"), default="none",
                    help="optional linear AEC before the post-filter")
-    p.add_argument("--normalize", action="store_true",
-                   help="apply the reference's global pseudo-norm (training parity)")
     p.add_argument("--sr", type=int, default=16000)
     args = p.parse_args(argv)
 
@@ -70,17 +156,34 @@ def main(argv=None) -> None:
     log = get_logger(os.path.join(args.ckpt_dir, "test.log"), log_file=True)
     log.info("Arguments:\n%s", pprint.pformat(vars(args)))
 
+    scfg = StftConfig()
     try:
-        params = load_params(args.model_file)
-        log.info("Loaded model from %s", args.model_file)
+        enhance, params = _make_enhancer(args.model, args.model_file, args.stage1, scfg)
+        log.info("Loaded %s from %s", args.model, args.model_file)
     except FileNotFoundError:
+        enhance, params = None, None
+        if args.model != "little_net":
+            raise
+        # reference behavior tolerated for the default model: fresh init
+        erb = jnp.asarray(erb_filterbank())
+        from aec_tpu.models.little_net import little_net_apply
+        from aec_tpu.pipeline.two_stage import two_stage_cancel  # noqa: F401
+
         params = little_net_init(jax.random.PRNGKey(0))
+        lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[args.stage1]
+
+        @jax.jit
+        def enhance(far, mic):
+            if args.stage1 == "kalman":
+                lin = kalman_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
+            elif args.stage1 == "nlms":
+                lin = nlms_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
+            else:
+                lin = mic
+            return little_net_apply(params, lin, far, erb, scfg, normalize=False)["wav"]
+
         log.info("No checkpoint at %s; using fresh init", args.model_file)
     log.info("Trainable parameter count: {:,d}".format(num_params(params)))
-
-    erb = jnp.asarray(erb_filterbank())
-    scfg = StftConfig()
-    lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[args.stage1]
 
     for tt_file in read_filelist(args.tt_list):
         sub = os.path.join(
@@ -91,17 +194,12 @@ def main(argv=None) -> None:
         log.info("Estimating on %s (%d utts)", tt_file, loader.n)
         for k, egs in enumerate(loader):
             n = egs["n_samples"]
-            out = two_stage_cancel(
-                params,
-                jnp.asarray(egs["farend_speech"]),
-                jnp.asarray(egs["nearend_mic"]),
-                erb,
-                stage1=args.stage1,
-                lin_cfg=lin_cfg,
-                scfg=scfg,
-                normalize=args.normalize,
+            wav = enhance(
+                jnp.asarray(egs["farend_speech"]), jnp.asarray(egs["nearend_mic"])
             )
-            est = np.asarray(out["wav"])[0][:n]
+            est = np.asarray(wav)[0][:n]
+            if len(est) < n:  # hop-mismatch tail (e.g. 320/160 models)
+                est = np.pad(est, (0, n - len(est)))
             write_wav(os.path.join(sub, f"{k}_near_est.wav"), est, args.sr)
             write_wav(os.path.join(sub, f"{k}_near.wav"), egs["nearend_speech"][0][:n], args.sr)
             write_wav(os.path.join(sub, f"{k}_far.wav"), egs["farend_speech"][0][:n], args.sr)

@@ -88,6 +88,35 @@ def test_train_cli_two_layer_gru(tmp_path, rng):
     assert os.path.isfile(os.path.join(ckpt_dir, "models", "latest.npz"))
 
 
+def test_infer_cli_other_models(tmp_path, rng):
+    # train fullsubnet briefly via the CLI, then infer with it
+    wav_dir = str(tmp_path / "wavs")
+    h5_dir = str(tmp_path / "h5")
+    lists = str(tmp_path / "lists")
+    _make_wavs(wav_dir, rng, n=4096)
+    prepare_data.main(["train", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    prepare_data.main(["test", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists])
+    ckpt_dir = str(tmp_path / "exp_fs")
+    train_cli.main([
+        "--tr_list", os.path.join(lists, "tr_list.txt"),
+        "--cv_file", os.path.join(h5_dir, "test.ex"),
+        "--ckpt_dir", ckpt_dir,
+        "--batch_size", "2", "--max_n_epochs", "1",
+        "--model", "fullsubnet",
+    ])
+    model = os.path.join(ckpt_dir, "models", "latest.npz")
+    assert os.path.isfile(model)
+    est = str(tmp_path / "est_fs")
+    infer.main([
+        "--tt_list", os.path.join(lists, "tt_list.txt"),
+        "--ckpt_dir", ckpt_dir, "--model_file", model,
+        "--est_path", est, "--model", "fullsubnet", "--stage1", "nlms",
+    ])
+    wav, sr = read_wav(os.path.join(est, "test", "0_near_est.wav"))
+    assert sr == 16000 and wav.shape == (4096,)
+    assert np.isfinite(wav).all()
+
+
 def test_batch_enhance_cli(tmp_path, rng):
     from aec_tpu.cli import batch_enhance
 
