@@ -101,6 +101,18 @@ def test_roundtrip_reconstructs_signal(rng):
     np.testing.assert_allclose(y[:, 512:-512], x[:, 512:-512], atol=1e-3)
 
 
+@pytest.mark.parametrize("cfg", [
+    S.StftConfig(win_len=320, hop=160, fft_len=320),  # FullSubNet geometry
+    S.StftConfig(win_len=512, hop=256, fft_len=512, win_type="hamming"),
+])
+def test_other_geometries_roundtrip(rng, cfg):
+    x = rng.standard_normal((1, 16 * cfg.hop)).astype(np.float32)
+    y = np.asarray(S.istft(S.stft(jnp.asarray(x), cfg), cfg))
+    assert y.shape == x.shape
+    interior = slice(cfg.win_len, -cfg.win_len)
+    np.testing.assert_allclose(y[:, interior], x[:, interior], atol=2e-3)
+
+
 def test_magnitude_epsilon():
     spec = jnp.zeros((1, 4, 2 * CFG.n_freqs))
     mag = np.asarray(S.magnitude(spec))
