@@ -143,6 +143,23 @@ def test_batch_enhance_cli(tmp_path, rng):
         assert sr == 16000 and wav.shape == (8192,)
 
 
+def test_stream_cli(tmp_path, rng, capsys):
+    from aec_tpu.cli import stream
+
+    n = 12 * 256
+    far = (0.5 * rng.standard_normal(n)).astype(np.float32)
+    mic = (0.5 * rng.standard_normal(n)).astype(np.float32)
+    write_wav(str(tmp_path / "far.wav"), far, 16000)
+    write_wav(str(tmp_path / "mic.wav"), mic, 16000)
+    out = str(tmp_path / "enh.wav")
+    stream.main(["--far", str(tmp_path / "far.wav"), "--mic", str(tmp_path / "mic.wav"),
+                 "--out", out, "--stage1", "nlms"])
+    wav, sr = read_wav(out)
+    assert sr == 16000 and wav.shape == (n,)
+    report = capsys.readouterr().out
+    assert '"latency_ms_p50"' in report
+
+
 def test_stoi_properties(rng):
     t = np.arange(32000) / 16000.0
     # modulated tone stack ~ speech-ish envelope
