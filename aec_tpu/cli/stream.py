@@ -6,6 +6,12 @@ reporting per-block latency percentiles and realtime margin.
 
   python -m aec_tpu.cli.stream --far far.wav --mic mic.wav --out enhanced.wav \
       [--model_file checkpoints/little_net_synthetic.npz] [--stage1 kalman]
+
+Latency caveat: per-block wall latency includes one host<->device dispatch
+round trip. On this image's tunneled TPU that round trip alone is ~25-30 ms
+(device compute is ~1.3 ms/block amortized — see the concurrent-streams
+benchmark); on a directly-attached TPU the loop runs comfortably inside the
+16 ms budget.
 """
 
 from __future__ import annotations
