@@ -113,6 +113,30 @@ def test_wav_pack_train_dir(tmp_path, rng):
     assert utt["echo"].shape == (4000,)
 
 
+def test_wav_resample(tmp_path, rng):
+    # 8 kHz sine read back at 16 kHz keeps duration and pitch
+    sr_in, sr_out = 8000, 16000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    p = str(tmp_path / "a8k.wav")
+    audio_io.write_wav(p, x, sr_in)
+    y, sr = audio_io.read_wav(p, sr_out)
+    assert sr == sr_out and y.shape == (sr_out,)
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(y))
+    peak_hz = np.argmax(spec) * sr_out / len(y)
+    assert abs(peak_hz - 440) < 5
+
+
+def test_measure_pesq_gated(rng, tmp_path):
+    import pytest
+    from aec_tpu.cli.measure import score_pair
+
+    x = rng.standard_normal(4000).astype(np.float32)
+    with pytest.raises(SystemExit):
+        score_pair(x, x, metrics=("pesq",))
+
+
 def test_features_batch_shapes(rng):
     mic = rng.standard_normal((3, 4096)).astype(np.float32)
     ref = rng.standard_normal((3, 4096)).astype(np.float32)
