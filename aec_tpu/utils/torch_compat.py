@@ -65,7 +65,10 @@ def little_net_params_from_state_dict(state: dict[str, np.ndarray]) -> dict:
 
 
 def state_dict_from_little_net_params(params) -> dict[str, np.ndarray]:
-    """Inverse mapping, for exporting our weights to reference tooling."""
+    """Inverse mapping, for exporting our weights to reference tooling.
+
+    Also valid for TwoLayerGRUNet params (same module names gru1/linear1/
+    linear2, ERB.py:84-88)."""
     return {
         "gru1.weight_ih_l0": np.asarray(params["gru"]["w_ih"]),
         "gru1.weight_hh_l0": np.asarray(params["gru"]["w_hh"]),
@@ -76,3 +79,63 @@ def state_dict_from_little_net_params(params) -> dict[str, np.ndarray]:
         "linear2.weight": np.asarray(params["lin2"]["w"]),
         "linear2.bias": np.asarray(params["lin2"]["b"]),
     }
+
+
+def state_dict_from_dccrn_params(params, state) -> dict[str, np.ndarray]:
+    """Export our DCCRN pytree to the reference v1 module layout
+    (dccrn.py:453-521: ``encoder.{i}.0`` ComplexConv2d / ``.1`` BatchNorm2d /
+    ``.2`` PReLU, mirrored ``decoder.{i}``, ``lstm``), enabling
+    reference-in-the-loop forward parity with shared weights.
+
+    Only valid for the plain-LSTM real-BN configuration the reference v1
+    constructor builds (use_clstm=False, use_cbn=False, rnn_layers=1).
+    """
+    if not isinstance(params.get("rnn"), dict) or "w_ih" not in params["rnn"]:
+        raise ValueError(
+            "state_dict_from_dccrn_params requires the v1 layout: "
+            "DccrnConfig(use_clstm=False, rnn_layers=1) — got a complex-LSTM "
+            "stack, which has no reference v1 equivalent"
+        )
+    if any("scale" not in layer["bn"] for layer in params["encoder"]):
+        raise ValueError(
+            "state_dict_from_dccrn_params requires real BatchNorm "
+            "(DccrnConfig(use_cbn=False)); the reference v1 uses nn.BatchNorm2d"
+        )
+
+    def conv_block(prefix, layer, lstate, *, transpose: bool):
+        # ours: HWIO (kh, kw, Cin/2, Cout/2); torch Conv2d wants OIHW,
+        # torch ConvTranspose2d wants IOHW.
+        perm = (2, 3, 0, 1) if transpose else (3, 2, 0, 1)
+        out = {
+            f"{prefix}.0.real_conv.weight": np.transpose(np.asarray(layer["conv"]["w_r"]), perm),
+            f"{prefix}.0.real_conv.bias": np.asarray(layer["conv"]["b_r"]),
+            f"{prefix}.0.imag_conv.weight": np.transpose(np.asarray(layer["conv"]["w_i"]), perm),
+            f"{prefix}.0.imag_conv.bias": np.asarray(layer["conv"]["b_i"]),
+            f"{prefix}.1.weight": np.asarray(layer["bn"]["scale"]),
+            f"{prefix}.1.bias": np.asarray(layer["bn"]["bias"]),
+            f"{prefix}.1.running_mean": np.asarray(lstate["bn"]["mean"]),
+            f"{prefix}.1.running_var": np.asarray(lstate["bn"]["var"]),
+        }
+        if "prelu" in layer:
+            out[f"{prefix}.2.weight"] = np.asarray(layer["prelu"]).reshape(1)
+        return out
+
+    sd: dict[str, np.ndarray] = {}
+    n_dec = len(params["decoder"])
+    for i, (layer, lstate) in enumerate(zip(params["encoder"], state["encoder"])):
+        sd.update(conv_block(f"encoder.{i}", layer, lstate, transpose=False))
+    for i, (layer, lstate) in enumerate(zip(params["decoder"], state["decoder"])):
+        block = conv_block(f"decoder.{i}", layer, lstate, transpose=True)
+        if i == n_dec - 1:  # last decoder stage ends in Tanh (dccrn.py:495-510)
+            block.pop(f"decoder.{i}.2.weight", None)
+        sd.update(block)
+    rnn = params["rnn"]
+    sd.update(
+        {
+            "lstm.weight_ih_l0": np.asarray(rnn["w_ih"]),
+            "lstm.weight_hh_l0": np.asarray(rnn["w_hh"]),
+            "lstm.bias_ih_l0": np.asarray(rnn["b_ih"]),
+            "lstm.bias_hh_l0": np.asarray(rnn["b_hh"]),
+        }
+    )
+    return sd
