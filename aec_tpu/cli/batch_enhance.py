@@ -41,6 +41,10 @@ def main(argv=None) -> None:
     p.add_argument("--model_file", required=True)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--stage1", choices=("kalman", "nlms", "none"), default="kalman")
+    p.add_argument("--normalize", action=argparse.BooleanOptionalAction, default=True,
+                   help="reference Tester pseudo-norm (ERB.py:254-256), applied "
+                        "per utterance so each batched result equals a batch=1 "
+                        "reference run; --no-normalize for the causal mode")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--bucket", type=int, default=16384, help="length quantum")
     p.add_argument("--mesh", action="store_true")
@@ -61,7 +65,10 @@ def main(argv=None) -> None:
             lin = nlms_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
         else:
             lin = mic
-        return little_net_apply(params, lin, far, erb, scfg, normalize=False)["wav"]
+        return little_net_apply(
+            params, lin, far, erb, scfg,
+            normalize=args.normalize, per_utt_norm=True,
+        )["wav"]
 
     if args.mesh:
         from aec_tpu.parallel.mesh import data_sharding, make_mesh, replicated

@@ -53,8 +53,17 @@ def load_params(model_file: str):
     return checkpoints.restore(model_file, {"params": params})["params"]
 
 
-def _make_enhancer(model: str, model_file: str, stage1: str, scfg: StftConfig):
-    """Returns enhance(far [B,n], mic [B,n]) -> wav [B,n], loading weights."""
+def _make_enhancer(
+    model: str, model_file: str, stage1: str, scfg: StftConfig,
+    normalize: bool = True,
+):
+    """Returns enhance(far [B,n], mic [B,n]) -> wav [B,n], loading weights.
+
+    ``normalize`` reproduces the reference Tester's behavior: the net runs
+    with its in-forward pseudo-norm (test.py:156 -> ERB.py:254-256). It only
+    affects little_net — the other reference families apply no input
+    normalization (TwoLayerGRUNet comments it out, ERB.py:125-127).
+    """
     lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[stage1]
 
     def stage1_fn(far, mic):
@@ -84,7 +93,7 @@ def _make_enhancer(model: str, model_file: str, stage1: str, scfg: StftConfig):
         @jax.jit
         def enhance(far, mic):
             lin = stage1_fn(far, mic)
-            return apply_fn(params, lin, far, erb, scfg, normalize=False)["wav"]
+            return apply_fn(params, lin, far, erb, scfg, normalize=normalize)["wav"]
 
         return enhance, params
 
@@ -149,6 +158,12 @@ def main(argv=None) -> None:
                             "dccrn", "att_ccrn"))
     p.add_argument("--stage1", choices=("none", "kalman", "nlms"), default="none",
                    help="optional linear AEC before the post-filter")
+    p.add_argument("--normalize", action=argparse.BooleanOptionalAction, default=True,
+                   help="apply the reference's in-forward pseudo-norm "
+                        "(ERB.py:254-256; the Tester default, test.py:156). "
+                        "--no-normalize gives the causal/streaming-equivalent "
+                        "mode. little_net only; other families have no "
+                        "reference-side input normalization.")
     p.add_argument("--sr", type=int, default=16000)
     args = p.parse_args(argv)
 
@@ -158,7 +173,9 @@ def main(argv=None) -> None:
 
     scfg = StftConfig()
     try:
-        enhance, params = _make_enhancer(args.model, args.model_file, args.stage1, scfg)
+        enhance, params = _make_enhancer(
+            args.model, args.model_file, args.stage1, scfg, normalize=args.normalize
+        )
         log.info("Loaded %s from %s", args.model, args.model_file)
     except FileNotFoundError:
         enhance, params = None, None
@@ -180,7 +197,9 @@ def main(argv=None) -> None:
                 lin = nlms_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
             else:
                 lin = mic
-            return little_net_apply(params, lin, far, erb, scfg, normalize=False)["wav"]
+            return little_net_apply(
+                params, lin, far, erb, scfg, normalize=args.normalize
+            )["wav"]
 
         log.info("No checkpoint at %s; using fresh init", args.model_file)
     log.info("Trainable parameter count: {:,d}".format(num_params(params)))

@@ -73,8 +73,20 @@ def little_net_init(
     )
 
 
-def _pseudo_norm(x: jax.Array) -> jax.Array:
-    """Reference quirk §2.4.1: subtract the scalar mean/std ratio (ERB.py:254)."""
+def _pseudo_norm(x: jax.Array, per_utt: bool = False) -> jax.Array:
+    """Reference quirk §2.4.1: subtract the scalar mean/std ratio (ERB.py:254).
+
+    ``per_utt=True`` computes the scalar per utterance (last axis) instead of
+    over the whole batch tensor. The reference Tester runs batch=1
+    (test.py:139), where the two are identical; per-utterance is the faithful
+    extension when enhancing many utterances in one device batch — each comes
+    out exactly as a batch=1 reference run would produce it.
+    """
+    if per_utt:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        n = x.shape[-1]
+        std = jnp.sqrt(jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (n - 1))
+        return x - mean / std
     mean = jnp.mean(x)
     # torch.std default: unbiased (ddof=1) over all elements
     std = jnp.sqrt(jnp.sum((x - mean) ** 2) / (x.size - 1))
@@ -104,16 +116,18 @@ def little_net_apply(
     cfg: StftConfig = StftConfig(),
     *,
     normalize: bool = True,
+    per_utt_norm: bool = False,
 ) -> dict[str, jax.Array]:
     """Forward pass: mic/ref wav [B, n] -> enhanced wav + intermediates.
 
     Returns dict with ``wav`` [B, n], ``est_erb`` [B, T, E], ``mask``.
     ``normalize`` applies the reference's global pseudo-norm to mic/ref
-    (the `near` branch of the norm lives in :func:`little_net_loss`).
+    (the `near` branch of the norm lives in :func:`little_net_loss`);
+    ``per_utt_norm`` switches the scalar to per-utterance (see _pseudo_norm).
     """
     if normalize:
-        mic = _pseudo_norm(mic)
-        ref = _pseudo_norm(ref)
+        mic = _pseudo_norm(mic, per_utt_norm)
+        ref = _pseudo_norm(ref, per_utt_norm)
     feats, mic_erb, mic_spec = little_net_features(mic, ref, erb, cfg)
 
     out1, _ = gru_scan(params["gru"], feats)  # [B, T, E]

@@ -141,6 +141,9 @@ def test_batch_enhance_cli(tmp_path, rng):
     for k in range(2):
         wav, sr = read_wav(os.path.join(out_dir, f"{k}_enhanced.wav"))
         assert sr == 16000 and wav.shape == (8192,)
+        # zero-filled batch-padding rows go NaN under the per-utt pseudo-norm;
+        # they are discarded and must not leak into real utterances
+        assert np.isfinite(wav).all()
 
 
 def test_stream_cli(tmp_path, rng, capsys):

@@ -210,6 +210,78 @@ def test_dccrn_v1_shared_weight_parity(ref, rng):
     assert abs(float(loss) - float(want_loss)) <= 1e-3 * abs(float(want_loss))
 
 
+def test_infer_cli_matches_reference_tester(ref, rng, tmp_path):
+    """Same .pt checkpoint -> our infer CLI writes the same enhanced wav the
+    reference Tester would (test.py:149-169: batch=1, in-forward pseudo-norm
+    ON). Exact parity holds when the utterance length is a hop multiple (the
+    reference never pads; our loader pads to the hop quantum)."""
+    import os
+
+    from aec_tpu.cli import infer, prepare_data
+    from aec_tpu.pipeline.audio_io import read_wav, write_wav
+    from aec_tpu.utils.torch_compat import _CheckPointStub
+
+    ref_erb_mod, _, _ = ref
+    n = 8192  # hop multiple: reference frame count == ours
+    wav_dir, h5_dir, lists = (str(tmp_path / d) for d in ("wavs", "h5", "lists"))
+    os.makedirs(wav_dir)
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)).astype(np.float32)
+    echo = np.convolve(far, 0.3 * rir)[:n].astype(np.float32)
+    near = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    write_wav(os.path.join(wav_dir, "nearend_speech_fileid_000.wav"), near, 16000)
+    write_wav(os.path.join(wav_dir, "nearend_mic_fileid_000.wav"), near + echo, 16000)
+    write_wav(os.path.join(wav_dir, "farend_speech_fileid_000.wav"), far, 16000)
+    write_wav(os.path.join(wav_dir, "echo_fileid_000.wav"), echo, 16000)
+    prepare_data.main(
+        ["test", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists]
+    )
+
+    # a reference-format .pt checkpoint holding our weights
+    params = little_net_init(jax.random.PRNGKey(5))
+    sd_np = state_dict_from_little_net_params(params)
+    pt = str(tmp_path / "best_loss.pt")
+    torch.save(
+        _CheckPointStub(
+            ckpt_info={"cur_epoch": 0},
+            net_state_dict={k: _t(v) for k, v in sd_np.items()},
+        ),
+        pt,
+    )
+
+    # our CLI, default (reference Tester) normalization
+    est = str(tmp_path / "est")
+    infer.main(
+        ["--tt_list", os.path.join(lists, "tt_list.txt"),
+         "--ckpt_dir", str(tmp_path / "exp"), "--model_file", pt,
+         "--est_path", est]
+    )
+    got, sr = read_wav(os.path.join(est, "test", "0_near_est.wav"))
+    assert sr == 16000
+
+    # the reference Tester's forward on the same utterance (test.py:156-165)
+    net = ref_erb_mod.Little_net({"win_size": 512, "hop_size": 256}, 32)
+    net.load_state_dict({k: _t(v) for k, v in sd_np.items()}, strict=False)
+    net.eval()
+    erb32 = erb_filterbank(257, 16000, 32, 0, 8000)
+    mic = (near + echo)[None]
+    with torch.no_grad():
+        want_wav, _ = net(_t(mic), _t(far[None]), _t(near[None]), _t(erb32))
+    want = want_wav.numpy()[0][:n]
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5
+
+    # --no-normalize is the causal mode and must change the output
+    est2 = str(tmp_path / "est2")
+    infer.main(
+        ["--tt_list", os.path.join(lists, "tt_list.txt"),
+         "--ckpt_dir", str(tmp_path / "exp"), "--model_file", pt,
+         "--est_path", est2, "--no-normalize"]
+    )
+    got2, _ = read_wav(os.path.join(est2, "test", "0_near_est.wav"))
+    assert _rel(got2, want) > 1e-4  # demonstrably different from the Tester
+
+
 def test_countframes_formula_parity():
     """utils/tools.py:30-32 countFrames — loaded from file to dodge the
     torch_compat 'utils.tools' pickle stub that may occupy sys.modules."""
