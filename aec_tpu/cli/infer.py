@@ -64,6 +64,12 @@ def _make_enhancer(
     affects little_net — the other reference families apply no input
     normalization (TwoLayerGRUNet comments it out, ERB.py:125-127).
     """
+    if model != "little_net" and model_file.endswith(".pt"):
+        raise ValueError(
+            f".pt checkpoint interop is little_net-only (reference .pt files "
+            f"hold Little_net weights, tools.py:65-82); --model {model} needs "
+            f"a framework .npz checkpoint"
+        )
     lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[stage1]
 
     def stage1_fn(far, mic):

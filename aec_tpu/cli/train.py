@@ -38,8 +38,27 @@ def main(argv=None) -> None:
     p.add_argument("--lr", type=float, default=TrainConfig.lr)
     p.add_argument("--batch_size", type=int, default=TrainConfig.batch_size)
     p.add_argument("--max_n_epochs", type=int, default=TrainConfig.max_n_epochs)
+    p.add_argument("--validate_metrics", type=str, default="",
+                   help="comma list of extra cv metrics (stoi,sisdr); each "
+                        "gets a best_<metric>.npz slot — the working version "
+                        "of the reference's dead validate_conf "
+                        "(configs.py:49-57). little_net/two_layer_gru only.")
     args = p.parse_args(argv)
     logger.info("Arguments:\n%s", pprint.pformat(vars(args)))
+
+    if args.mesh:
+        # multi-host bring-up when a coordinator is configured
+        # (AEC_COORDINATOR / AEC_NUM_PROCESSES / AEC_PROCESS_ID); no-op
+        # single-host. Must run before anything initializes the backend.
+        from aec_tpu.parallel.mesh import distributed_init_if_needed
+
+        if distributed_init_if_needed():
+            import jax
+
+            logger.info(
+                "jax.distributed up: process %d/%d, %d global devices",
+                jax.process_index(), jax.process_count(), jax.device_count(),
+            )
 
     cfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, max_n_epochs=args.max_n_epochs
@@ -55,6 +74,7 @@ def main(argv=None) -> None:
             cfg=cfg,
             use_mesh=args.mesh,
             resume_model=args.resume_model,
+            time_log=args.time_log,
         ).train()
         return
 
@@ -72,6 +92,9 @@ def main(argv=None) -> None:
         use_mesh=args.mesh,
         loss_fn=spec.loss,
         init_fn=spec.init,
+        validate_metrics=tuple(
+            m for m in args.validate_metrics.split(",") if m
+        ),
     )
     trainer.train()
 

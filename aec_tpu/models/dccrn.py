@@ -47,7 +47,9 @@ class DccrnConfig:
     padding: tuple[int, int] = (2, 0)
     masking_mode: str = "E"  # 'E' | 'C' | 'R'
     use_clstm: bool = True
-    use_cbn: bool = False  # complex whitening BN (dccrn2 'use_cbn') vs real BN
+    # complex whitening BN (dccrn2 'use_cbn') vs real BN; the reference's
+    # net_conf defaults this ON (configs.py:38)
+    use_cbn: bool = True
     rnn_layers: int = 2
     stft: StftConfig = StftConfig()
 
@@ -77,7 +79,10 @@ def dccrn_init(key: jax.Array, cfg: DccrnConfig = DccrnConfig(), dtype=jnp.float
             keys[n_enc + (n_enc - 1 - i)], chans[i + 1] * 2, c_out, cfg.kernel, dtype
         )
         bn_p, bn_s = bn_init(bn_keys[n_enc + (n_enc - 1 - i)], c_out)
-        dec.append({"conv": conv, "bn": bn_p, "prelu": cl.prelu_init(dtype)})
+        layer = {"conv": conv, "bn": bn_p}
+        if i > 0:  # final decoder stage ends in Tanh, no PReLU (dccrn.py:495-510)
+            layer["prelu"] = cl.prelu_init(dtype)
+        dec.append(layer)
         dec_state.append({"bn": bn_s})
 
     # bottleneck feature width: channels * freq at the deepest level

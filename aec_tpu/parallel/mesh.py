@@ -12,17 +12,57 @@ mesh API for completeness.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def distributed_init_if_needed() -> None:
-    """Multi-host bring-up (jax.distributed). Safe no-op single-host."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    # single-process: nothing to do; multi-process launchers call
-    # jax.distributed.initialize() before importing this module.
+def distributed_init_if_needed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host bring-up: call ``jax.distributed.initialize`` when a
+    coordinator is configured. Returns True iff initialization ran here.
+
+    This is the TPU-native replacement for the reference's (implicit,
+    single-process) DataParallel scale-out (train1.py:141-142): after init,
+    ``jax.devices()`` spans every host and the same ``make_mesh`` +
+    ``NamedSharding`` SPMD step runs globally — in-slice gradient reductions
+    ride ICI, cross-slice/host segments ride DCN.
+
+    Resolution order per field: explicit argument, then environment
+    (``AEC_COORDINATOR`` / ``JAX_COORDINATOR_ADDRESS``, ``AEC_NUM_PROCESSES``
+    / ``JAX_NUM_PROCESSES``, ``AEC_PROCESS_ID`` / ``JAX_PROCESS_ID``). With no
+    coordinator configured anywhere this is a safe single-host no-op. TPU-pod
+    launchers that pre-initialize (or auto-init) are detected and respected.
+    """
+    # NOTE: must not touch jax.devices()/process_count() before deciding —
+    # those initialize the XLA backend, after which initialize() is illegal.
+    coordinator_address = (
+        coordinator_address
+        or os.environ.get("AEC_COORDINATOR")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if not coordinator_address:
+        return False  # single-host run
+    if jax.distributed.is_initialized():
+        return False  # launcher already brought the cluster up
+    env_int = lambda *names: next(
+        (int(os.environ[n]) for n in names if n in os.environ), None
+    )
+    if num_processes is None:
+        num_processes = env_int("AEC_NUM_PROCESSES", "JAX_NUM_PROCESSES")
+    if process_id is None:
+        process_id = env_int("AEC_PROCESS_ID", "JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
 
 
 def make_mesh(
@@ -56,3 +96,31 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
         k: (jax.device_put(v, sh) if getattr(v, "ndim", 0) >= 1 else v)
         for k, v in batch.items()
     }
+
+
+def is_primary() -> bool:
+    """True on the process that owns checkpoint/log writes."""
+    return jax.process_index() == 0
+
+
+def process_local_files(items: list) -> list:
+    """Disjoint per-process slice of a global file list (data parallelism
+    across hosts: each host reads only its shard)."""
+    return list(items[jax.process_index() :: jax.process_count()])
+
+
+def globalize_batch(mesh: Mesh, arrays: list) -> list:
+    """Turn per-process host batch arrays into GLOBAL data-sharded jax.Arrays.
+
+    Single-process: a plain device_put with the data sharding. Multi-process:
+    each process contributes its local rows via
+    ``jax.make_array_from_process_local_data`` — the global batch dimension is
+    local_batch * process_count, so every process must supply local arrays of
+    identical shape (fixed-length padding; see TrainLoader ``pad_to``).
+    """
+    sh = data_sharding(mesh)
+    if jax.process_count() == 1:
+        return [jax.device_put(np.asarray(a), sh) for a in arrays]
+    return [
+        jax.make_array_from_process_local_data(sh, np.asarray(a)) for a in arrays
+    ]

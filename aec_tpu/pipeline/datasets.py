@@ -22,18 +22,24 @@ BATCH_KEYS = ("nearend_speech", "nearend_mic", "farend_speech", "echo")
 
 
 def collate(
-    utts: list[dict[str, np.ndarray]], bucket_quantum: int = 0
+    utts: list[dict[str, np.ndarray]], bucket_quantum: int = 0, pad_to: int = 0
 ) -> dict[str, np.ndarray | int]:
     """Zero-pad each key to the batch max length and stack (train1.py:45-74).
 
     ``n_samples`` carries the true max length for frame-weighted loss
     accounting (train1.py:225-228). ``bucket_quantum > 0`` additionally pads
     up to a multiple — our static-shape divergence, content identical
-    (trailing zeros).
+    (trailing zeros). ``pad_to > 0`` pads to that EXACT length (required for
+    multi-host global batch assembly, where all processes must produce
+    identically shaped local shards).
     """
     max_len = max(len(u[BATCH_KEYS[0]]) for u in utts)
     n_samples = max_len
-    if bucket_quantum:
+    if pad_to:
+        if max_len > pad_to:
+            raise ValueError(f"utterance length {max_len} exceeds pad_to={pad_to}")
+        max_len = pad_to
+    elif bucket_quantum:
         max_len = -(-max_len // bucket_quantum) * bucket_quantum
     out: dict[str, np.ndarray | int] = {}
     for key in BATCH_KEYS:
@@ -59,6 +65,7 @@ class TrainLoader:
         batch_size: int,
         *,
         bucket_quantum: int = 4096,
+        pad_to: int = 0,
         shuffle: bool = True,
         drop_last: bool = True,
         seed: int = 0,
@@ -67,6 +74,7 @@ class TrainLoader:
         self.file_list = list(file_list)
         self.batch_size = batch_size
         self.bucket_quantum = bucket_quantum
+        self.pad_to = pad_to
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
@@ -86,7 +94,7 @@ class TrainLoader:
         for lo in range(0, stop, self.batch_size):
             idx = order[lo : lo + self.batch_size]
             utts = [h5io.read_utterance(self.file_list[i]) for i in idx]
-            yield collate(utts, self.bucket_quantum)
+            yield collate(utts, self.bucket_quantum, self.pad_to)
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:

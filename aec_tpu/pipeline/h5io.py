@@ -40,6 +40,12 @@ def read_utterance(path: str) -> dict[str, np.ndarray]:
         return {k: np.asarray(f[k], dtype=np.float32) for k in TRAIN_KEYS}
 
 
+def utterance_length(path: str) -> int:
+    """Sample count of a TRAIN-layout file, from h5 metadata (no data read)."""
+    with h5py.File(path, "r") as f:
+        return int(f[TRAIN_KEYS[0]].shape[0])
+
+
 def write_grouped(
     path: str, utts: Iterable[Mapping[str, np.ndarray]], keys=TRAIN_KEYS
 ) -> int:

@@ -83,17 +83,34 @@ def _info_path(path: str) -> str:
 
 
 def save_latest_best(
-    ckpt_dir: str, tree, ckpt_info: dict, is_best: bool, best_name: str = "best_loss"
+    ckpt_dir: str,
+    tree,
+    ckpt_info: dict,
+    is_best: bool,
+    best_name: str = "best_loss",
+    extra_best: dict[str, bool] | None = None,
 ) -> str:
     """Reference cadence (train1.py:252-278): always write ``latest``, copy
-    to ``best_<metric>`` when the validation metric improved."""
+    to ``best_<metric>`` when the validation metric improved.
+
+    ``extra_best`` maps additional slot names to improvement flags — the
+    working realization of the reference's dead per-metric slots
+    (``ckpt_conf``, configs.py:54-57, which are declared but never updated).
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     latest = os.path.join(ckpt_dir, "latest.npz")
     save(latest, tree, ckpt_info)
-    if is_best:
-        best = os.path.join(ckpt_dir, f"{best_name}.npz")
+
+    def copy_to(name: str) -> None:
+        best = os.path.join(ckpt_dir, f"{name}.npz")
         shutil.copyfile(latest, best)
         info = _info_path(latest)
         if os.path.exists(info):
             shutil.copyfile(info, _info_path(best))
+
+    if is_best:
+        copy_to(best_name)
+    for name, flag in (extra_best or {}).items():
+        if flag:
+            copy_to(name)
     return latest

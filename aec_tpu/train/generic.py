@@ -10,20 +10,26 @@ stateless-with-echo (FullSubNet), and stateful BatchNorm models
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
+import time
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from aec_tpu.configs import TrainConfig
 from aec_tpu.dsp.erb import erb_filterbank
 from aec_tpu.dsp.stft import StftConfig
-from aec_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from aec_tpu.parallel.mesh import (
+    globalize_batch,
+    is_primary,
+    make_mesh,
+    process_local_files,
+)
 from aec_tpu.pipeline.datasets import EvalLoader, TrainLoader
 from aec_tpu.train import checkpoints
-from aec_tpu.train.loop import make_optimizer
+from aec_tpu.train.loop import make_optimizer, make_stateful_train_step
 from aec_tpu.utils.tools import count_frames, get_logger, num_params
 
 
@@ -115,15 +121,37 @@ class GenericTrainer:
     use_mesh: bool = False
     bucket_quantum: int = 4096
     resume_model: str = ""
+    time_log: str = ""  # per-batch timing lines, like Trainer (train1.py:231-240)
 
     def train(self) -> dict:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         logger = get_logger(os.path.join(self.ckpt_dir, "train.log"), log_file=True)
         adapter = make_adapter(self.model, self.scfg)
 
+        mesh = make_mesh() if self.use_mesh else None
+        multiproc = mesh is not None and jax.process_count() > 1
+        tr_files, local_bs, pad_to = self.tr_list, self.cfg.batch_size, 0
+        if multiproc:
+            pc = jax.process_count()
+            if self.cfg.batch_size % pc:
+                raise ValueError(
+                    f"global batch_size {self.cfg.batch_size} must divide "
+                    f"evenly over {pc} processes"
+                )
+            local_bs = self.cfg.batch_size // pc
+            tr_files = process_local_files(self.tr_list)
+            from aec_tpu.pipeline.h5io import utterance_length
+
+            longest = max(utterance_length(p) for p in self.tr_list)
+            pad_to = -(-longest // self.bucket_quantum) * self.bucket_quantum
+            steps_cap = (len(self.tr_list) // pc) // max(local_bs, 1)
+        else:
+            steps_cap = None
+
         loader = TrainLoader(
-            self.tr_list, self.cfg.batch_size,
-            bucket_quantum=self.bucket_quantum, seed=self.cfg.seed,
+            tr_files, local_bs,
+            bucket_quantum=self.bucket_quantum, pad_to=pad_to,
+            seed=self.cfg.seed,
         )
         cv_loader = EvalLoader(self.cv_file, batch_size=1)
 
@@ -133,27 +161,13 @@ class GenericTrainer:
         opt_state = optimizer.init(params)
         logger.info("model %s: %s params", self.model, f"{num_params(params):,d}")
 
-        mesh = make_mesh() if self.use_mesh else None
+        # one shared SPMD step builder for every family (stateless adapters
+        # simply thread their empty state through)
+        def step_loss(p, s, mic, far, near, echo):
+            loss, new_state = adapter.loss(p, s, mic, far, near, echo, True)
+            return loss, {"state": new_state}
 
-        def step(params, opt_state, model_state, mic, far, near, echo):
-            def lf(p):
-                loss, new_state = adapter.loss(p, model_state, mic, far, near, echo, True)
-                return loss, new_state
-
-            (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
-            updates, opt_state2 = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, new_state, loss
-
-        if mesh is None:
-            train_step = jax.jit(step, donate_argnums=(0, 1, 2))
-        else:
-            dsh, rep = data_sharding(mesh), replicated(mesh)
-            train_step = jax.jit(
-                step,
-                in_shardings=(rep, rep, rep, dsh, dsh, dsh, dsh),
-                out_shardings=(rep, rep, rep, rep),
-                donate_argnums=(0, 1, 2),
-            )
+        train_step = make_stateful_train_step(step_loss, optimizer, mesh)
 
         eval_step = jax.jit(
             lambda p, s, mic, far, near, echo: adapter.loss(
@@ -177,16 +191,32 @@ class GenericTrainer:
         while ckpt_info["cur_epoch"] < self.cfg.max_n_epochs:
             accu_loss, accu_frames = 0.0, 0
             for n_iter, batch in enumerate(loader):
+                if steps_cap is not None and n_iter >= steps_cap:
+                    break
+                t0 = time.perf_counter()
+                keys = ("nearend_mic", "farend_speech", "nearend_speech", "echo")
+                if mesh is not None:
+                    arrays = globalize_batch(mesh, [batch[k] for k in keys])
+                else:
+                    arrays = [jnp.asarray(batch[k]) for k in keys]
                 params, opt_state, model_state, loss = train_step(
-                    params, opt_state, model_state,
-                    jnp.asarray(batch["nearend_mic"]),
-                    jnp.asarray(batch["farend_speech"]),
-                    jnp.asarray(batch["nearend_speech"]),
-                    jnp.asarray(batch["echo"]),
+                    params, opt_state, model_state, *arrays
                 )
+                loss_val = float(loss)
+                batch_time = time.perf_counter() - t0
                 n_frames = count_frames(batch["n_samples"], self.scfg.win_len, self.scfg.hop)
-                accu_loss += float(loss) * n_frames
+                accu_loss += loss_val * n_frames
                 accu_frames += n_frames
+                if self.time_log and is_primary():
+                    with open(self.time_log, "a") as f:
+                        print(
+                            f"Epoch [{ckpt_info['cur_epoch'] + 1}/"
+                            f"{self.cfg.max_n_epochs}], Iter [{n_iter}], "
+                            f"tr_loss = {loss_val:.4f} / "
+                            f"{accu_loss / accu_frames:.4f}, "
+                            f"batch_time (s) = {batch_time:.4f}",
+                            file=f,
+                        )
                 if (n_iter + 1) % logging_period == 0:
                     cv_loss, cv_frames = 0.0, 0
                     for egs in cv_loader:
@@ -207,12 +237,29 @@ class GenericTrainer:
                     is_best = cv_loss < ckpt_info["best_loss"]
                     if is_best:
                         ckpt_info["best_loss"] = cv_loss
-                    checkpoints.save_latest_best(
-                        os.path.join(self.ckpt_dir, "models"),
-                        {"params": params, "opt_state": opt_state,
-                         "model_state": model_state},
-                        ckpt_info, is_best,
-                    )
+                    if is_primary():
+                        checkpoints.save_latest_best(
+                            os.path.join(self.ckpt_dir, "models"),
+                            {"params": params, "opt_state": opt_state,
+                             "model_state": model_state},
+                            ckpt_info, is_best,
+                        )
+                        # structured metrics (SURVEY §5.5), Trainer schema
+                        audio_s = batch["nearend_mic"].shape[0] * (
+                            batch["nearend_mic"].shape[1] / 16000.0
+                        )
+                        with open(
+                            os.path.join(self.ckpt_dir, "metrics.jsonl"), "a"
+                        ) as f:
+                            f.write(json.dumps({
+                                "epoch": ckpt_info["cur_epoch"] + 1,
+                                "iter": n_iter,
+                                "model": self.model,
+                                "tr_loss": ckpt_info["tr_loss"],
+                                "cv_loss": cv_loss,
+                                "batch_time_s": round(batch_time, 5),
+                                "train_xrt": round(audio_s / batch_time, 1),
+                            }) + "\n")
                     logger.info(
                         "epoch %d iter %d tr_loss %.4f cv_loss %.4f",
                         ckpt_info["cur_epoch"] + 1, n_iter,

@@ -53,10 +53,28 @@ def _frames(x: np.ndarray) -> np.ndarray:
 
 
 def _remove_silent(clean: np.ndarray, deg: np.ndarray):
+    """Drop sub-(max-40 dB) frames the published way (Taal 2011 MATLAB
+    removeSilentFrames): keep the energetic frames of BOTH signals, overlap-
+    add them back into continuous time signals, and return those. The OLA
+    reconstruction (rather than masking the frame list) matters when silent
+    frames are interior — the re-framed STFT then spans the splice."""
+    hop = N_FRAME // 2
     fc, fd = _frames(clean), _frames(deg)
     energy = 20.0 * np.log10(np.linalg.norm(fc, axis=1) + 1e-12)
     mask = energy > energy.max() - DYN_RANGE
-    return fc[mask], fd[mask]
+    fc, fd = fc[mask], fd[mask]
+    n_kept = fc.shape[0]
+    if n_kept == 0:
+        return np.zeros(0), np.zeros(0)
+    out_len = (n_kept - 1) * hop + N_FRAME
+    xs = np.zeros(out_len)
+    ys = np.zeros(out_len)
+    # frames come out of _frames already hann-windowed; the published
+    # algorithm overlap-adds exactly these windowed frames.
+    for i in range(n_kept):
+        xs[i * hop : i * hop + N_FRAME] += fc[i]
+        ys[i * hop : i * hop + N_FRAME] += fd[i]
+    return xs, ys
 
 
 def _band_envelopes(frames: np.ndarray) -> np.ndarray:
@@ -75,7 +93,8 @@ def stoi(clean: np.ndarray, degraded: np.ndarray, sr: int = 16000) -> float:
         g = np.gcd(int(FS), int(sr))
         clean = resample_poly(clean, FS // g, sr // g)
         degraded = resample_poly(degraded, FS // g, sr // g)
-    fc, fd = _remove_silent(clean, degraded)
+    xs, ys = _remove_silent(clean, degraded)
+    fc, fd = _frames(xs), _frames(ys)  # STFT windows the spliced signals again
     if fc.shape[0] < N_SEG:
         return float("nan")
     xb = _band_envelopes(fc)  # (T, J)

@@ -187,6 +187,11 @@ def test_dccrn_v1_shared_weight_parity(ref, rng):
     params, state = dccrn_init(jax.random.PRNGKey(3), jcfg)
     sd = {k: _t(v) for k, v in state_dict_from_dccrn_params(params, state).items()}
     ref_net = ref_dccrn.DCCRN(net_conf)
+    # param-count parity under the shared config
+    from aec_tpu.models.little_net import param_count
+
+    n_ref = sum(p.numel() for p in ref_net.parameters() if p.requires_grad)
+    assert param_count(params) == n_ref
     missing, unexpected = ref_net.load_state_dict(sd, strict=False)
     assert not unexpected
     assert all(

@@ -19,7 +19,9 @@ def _scene(rng, b, n):
 
 
 def test_dccrn_stateful_step_on_mesh(cpu_devices, rng):
-    cfg = DccrnConfig(use_clstm=False, conv_channels=(4, 8, 16), masking_mode="C")
+    cfg = DccrnConfig(
+        use_clstm=False, use_cbn=False, conv_channels=(4, 8, 16), masking_mode="C"
+    )  # real BN pinned: the assertion below checks real-BN running stats
     params, state = dccrn_init(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)

@@ -105,3 +105,34 @@ def test_trainer_resume(tmp_path, rng):
     )
     out = t2.train()
     assert out["ckpt_info"]["cur_epoch"] == 2
+
+
+def test_trainer_validate_metrics(tmp_path, rng):
+    """validate_metrics=("stoi","sisdr") fills cv_/best_ slots and writes
+    best_<metric>.npz — the working ckpt_conf (configs.py:54-57)."""
+    import pytest
+
+    paths, cv = _make_dataset(tmp_path, rng, n_utts=2, n=16384)
+    cfg = TrainConfig(max_n_epochs=1, batch_size=2, lr=1e-4, seed=0)
+    trainer = Trainer(
+        tr_list=paths,
+        cv_file=cv,
+        ckpt_dir=str(tmp_path / "expm"),
+        cfg=cfg,
+        bucket_quantum=4096,
+        validate_metrics=("stoi", "sisdr"),
+    )
+    out = trainer.train()
+    info = out["ckpt_info"]
+    for m in ("stoi", "sisdr"):
+        assert np.isfinite(info[f"cv_{m}"]), info
+        assert info[f"best_{m}"] == info[f"cv_{m}"]  # single period -> best
+        assert os.path.isfile(str(tmp_path / f"expm/models/best_{m}.npz"))
+    assert -40.0 < info["cv_sisdr"] < 60.0
+    assert -1.0 <= info["cv_stoi"] <= 1.0
+
+    with pytest.raises(ValueError, match="unknown validate_metrics"):
+        Trainer(
+            tr_list=paths, cv_file=cv, ckpt_dir=str(tmp_path / "bad"),
+            validate_metrics=("pesq",),
+        )
