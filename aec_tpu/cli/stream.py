@@ -39,6 +39,10 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--model_file", default="")
     p.add_argument("--stage1", choices=("kalman", "nlms", "none"), default="kalman")
+    p.add_argument("--normalize", action=argparse.BooleanOptionalAction, default=False,
+                   help="causal running-stats pseudo-norm for checkpoints "
+                        "trained with the reference's in-forward norm "
+                        "(ERB.py:254-256); default off = causal raw mode")
     p.add_argument("--sr", type=int, default=16000)
     args = p.parse_args(argv)
 
@@ -62,7 +66,7 @@ def main(argv=None) -> None:
     # warmup/compile on a zero block so the live loop is jitter-free
     _, _ = stream_step(
         params, state, jnp.zeros((cfg.hop,)), jnp.zeros((cfg.hop,)), erb, cfg,
-        stage1=args.stage1, lin_cfg=lin_cfg,
+        stage1=args.stage1, lin_cfg=lin_cfg, normalize=args.normalize,
     )
 
     outs, lat = [], []
@@ -71,12 +75,15 @@ def main(argv=None) -> None:
         m = jnp.asarray(mic[lo : lo + cfg.hop])
         t0 = time.perf_counter()
         state, out = stream_step(
-            params, state, f, m, erb, cfg, stage1=args.stage1, lin_cfg=lin_cfg
+            params, state, f, m, erb, cfg, stage1=args.stage1,
+            lin_cfg=lin_cfg, normalize=args.normalize,
         )
         out = np.asarray(out)  # force completion: this is the block latency
         lat.append(time.perf_counter() - t0)
         outs.append(out)
-    outs.append(np.asarray(stream_flush(params, state, erb, cfg)))
+    outs.append(
+        np.asarray(stream_flush(params, state, erb, cfg, normalize=args.normalize))
+    )
     wav = np.concatenate(outs)[cfg.hop :][:n]  # drop the trimmed left edge
     write_wav(args.out, wav.astype(np.float32), sr)
 

@@ -21,8 +21,17 @@ zero block, emitting the final output block — making
 stream == offline BIT-CLOSE for any chunking (tested).
 
 Note: the reference model's global mean/std pseudo-norm (ERB.py:254-256) is
-non-causal and has no streaming equivalent; streaming runs un-normalized
-(= offline path with ``normalize=False``).
+non-causal and has no exact streaming equivalent. Two modes are provided:
+
+- ``normalize=False`` (default): un-normalized, bit-close to the offline path
+  with ``normalize=False``;
+- ``normalize=True``: CAUSAL running-stats pseudo-norm — the scalar
+  ``mean/std`` is re-estimated from all samples seen so far (per stream, per
+  branch) and subtracted from the current frame. As the stream lengthens the
+  running scalar converges to the offline global one, so
+  normalized-trained checkpoints can stream: the tail of a long stream
+  matches the offline ``normalize=True`` output (tested in
+  tests/test_streaming.py::test_running_norm_converges_to_offline).
 """
 
 from __future__ import annotations
@@ -54,6 +63,9 @@ class StreamState(TypedDict):
     prev_far: jax.Array  # (hop,) previous far-end block
     gru_h: jax.Array  # (1, E)
     syn_tail: jax.Array  # (hop,) second half of previous synthesis frame
+    # running first/second moments for the causal pseudo-norm (count, then
+    # sum/sumsq per branch); carried always, consumed when normalize=True
+    norm: dict[str, jax.Array]
 
 
 def _env_period(cfg: StftConfig) -> np.ndarray:
@@ -75,12 +87,18 @@ def stream_init(
         s1 = nlms_init(lin_cfg or NlmsConfig(), cfg.n_freqs)
     else:
         s1 = {}
+    zero = jnp.zeros((), jnp.float32)
     return StreamState(
         stage1=s1,
         prev_lin=jnp.zeros((cfg.hop,), jnp.float32),
         prev_far=jnp.zeros((cfg.hop,), jnp.float32),
         gru_h=jnp.zeros((1, erb_bands), jnp.float32),
         syn_tail=jnp.zeros((cfg.hop,), jnp.float32),
+        norm={
+            "count": zero,
+            "sum_lin": zero, "sumsq_lin": zero,
+            "sum_far": zero, "sumsq_far": zero,
+        },
     )
 
 
@@ -113,6 +131,13 @@ def _stage2_frame(
     return syn, h
 
 
+def _norm_scalar(total: jax.Array, sumsq: jax.Array, count: jax.Array) -> jax.Array:
+    """Running mean/std ratio (torch-unbiased std, ERB.py:254 semantics)."""
+    mean = total / count
+    var = (sumsq - count * mean * mean) / jnp.maximum(count - 1.0, 1.0)
+    return mean / jnp.sqrt(jnp.maximum(var, 1e-12))
+
+
 def _stream_step_core(
     params: LittleNetParams,
     state: StreamState,
@@ -122,6 +147,7 @@ def _stream_step_core(
     cfg: StftConfig,
     stage1: str,
     lin_cfg,
+    normalize: bool = False,
 ) -> tuple[StreamState, jax.Array]:
     # Stage 1 (causal, block-native). Far frame -> ri spectrum via the DFT
     # basis matmul (overlap_save).
@@ -145,6 +171,24 @@ def _stream_step_core(
     # Stage 2: frame t = [prev_lin || lin_block].
     lin_frame = jnp.concatenate([state["prev_lin"], lin_block])
     far_frame = jnp.concatenate([state["prev_far"], far_block])
+    norm = state["norm"]
+    if normalize:
+        # causal pseudo-norm: fold the new block into the running moments,
+        # subtract the CURRENT mean/std scalar from the whole frame
+        count = norm["count"] + cfg.hop
+        norm = {
+            "count": count,
+            "sum_lin": norm["sum_lin"] + jnp.sum(lin_block),
+            "sumsq_lin": norm["sumsq_lin"] + jnp.sum(lin_block * lin_block),
+            "sum_far": norm["sum_far"] + jnp.sum(far_block),
+            "sumsq_far": norm["sumsq_far"] + jnp.sum(far_block * far_block),
+        }
+        lin_frame = lin_frame - _norm_scalar(
+            norm["sum_lin"], norm["sumsq_lin"], count
+        )
+        far_frame = far_frame - _norm_scalar(
+            norm["sum_far"], norm["sumsq_far"], count
+        )
     syn, h = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
 
     env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
@@ -156,11 +200,14 @@ def _stream_step_core(
         prev_far=far_block,
         gru_h=h,
         syn_tail=syn[cfg.hop :],
+        norm=norm,
     )
     return new_state, out_block
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "stage1", "lin_cfg"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize")
+)
 def stream_step(
     params: LittleNetParams,
     state: StreamState,
@@ -171,6 +218,7 @@ def stream_step(
     *,
     stage1: Literal["kalman", "nlms", "none"] = "kalman",
     lin_cfg=None,
+    normalize: bool = False,
 ) -> tuple[StreamState, jax.Array]:
     """Consume one hop of far/mic; emit one hop of enhanced audio.
 
@@ -186,25 +234,36 @@ def stream_step(
         lambda a: a[None], (state, far_block, mic_block)
     )
     new_state, out = jax.vmap(
-        lambda s, f, m: _stream_step_core(params, s, f, m, erb, cfg, stage1, lin_cfg)
+        lambda s, f, m: _stream_step_core(
+            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize
+        )
     )(state1, far1, mic1)
     return jax.tree.map(lambda a: a[0], new_state), out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "normalize"))
 def stream_flush(
     params: LittleNetParams,
     state: StreamState,
     erb: jax.Array,
     cfg: StftConfig = StftConfig(),
+    *,
+    normalize: bool = False,
 ) -> jax.Array:
     """End of stream: process the implicit trailing zero block (the offline
     path's right pad) and emit the final output block."""
 
     def core(state):
         zero = jnp.zeros((cfg.hop,), jnp.float32)
-        lin_frame = jnp.concatenate([state["prev_lin"], zero])
-        far_frame = jnp.concatenate([state["prev_far"], zero])
+        prev_lin, prev_far = state["prev_lin"], state["prev_far"]
+        if normalize:
+            # the offline pad is appended AFTER normalization -> subtract the
+            # final running scalar from the data half only
+            n = state["norm"]
+            prev_lin = prev_lin - _norm_scalar(n["sum_lin"], n["sumsq_lin"], n["count"])
+            prev_far = prev_far - _norm_scalar(n["sum_far"], n["sumsq_far"], n["count"])
+        lin_frame = jnp.concatenate([prev_lin, zero])
+        far_frame = jnp.concatenate([prev_far, zero])
         syn, _ = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
         env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
         return (state["syn_tail"] + syn[: cfg.hop]) / (env + 1e-8) + 1e-9
@@ -229,7 +288,9 @@ def stream_init_batched(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "stage1", "lin_cfg"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize")
+)
 def stream_step_batched(
     params: LittleNetParams,
     state: StreamState,  # leading stream axis on every leaf
@@ -240,6 +301,7 @@ def stream_step_batched(
     *,
     stage1: Literal["kalman", "nlms", "none"] = "kalman",
     lin_cfg=None,
+    normalize: bool = False,
 ) -> tuple[StreamState, jax.Array]:
     """One 16 ms hop for MANY concurrent streams (the serving hot loop).
 
@@ -250,7 +312,7 @@ def stream_step_batched(
     """
     return jax.vmap(
         lambda s, f, m: _stream_step_core(
-            params, s, f, m, erb, cfg, stage1, lin_cfg
+            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize
         )
     )(state, far_block, mic_block)
 
@@ -265,6 +327,7 @@ def stream_run(
     stage1: Literal["kalman", "nlms", "none"] = "kalman",
     lin_cfg=None,
     erb_bands: int = 32,
+    normalize: bool = False,
 ) -> np.ndarray:
     """Host convenience: run a whole utterance hop-by-hop (n % hop == 0)."""
     state = stream_init(erb_bands, cfg, stage1=stage1, lin_cfg=lin_cfg)
@@ -279,8 +342,9 @@ def stream_run(
             cfg,
             stage1=stage1,
             lin_cfg=lin_cfg,
+            normalize=normalize,
         )
         outs.append(np.asarray(out))
-    outs.append(np.asarray(stream_flush(params, state, erb, cfg)))
+    outs.append(np.asarray(stream_flush(params, state, erb, cfg, normalize=normalize)))
     # the first emitted block is the offline path's trimmed left edge — drop it
     return np.concatenate(outs)[cfg.hop :]

@@ -46,6 +46,52 @@ def _time(fn, inputs_list) -> float:
     return float(np.median(times))
 
 
+def _sequential_device_xrt(process, n, rng, *, counts=(4, 36), reps=3):
+    """Single-stream xRT measured as pure DEVICE time via a two-point slope.
+
+    Round-1 mismeasurement, corrected: on this image every dispatch pays a
+    ~25 ms axon-tunnel round trip, which a naive time-one-call benchmark
+    reads as a "~28 us/step scan floor" (62-step and 2000-step scans both
+    cost ~25 ms wall; the actual device cost is ~3-4 us/step). Here k
+    utterances are processed SEQUENTIALLY inside one program (lax.scan over
+    the utterance axis, per-utterance state re-init — numerically identical
+    to k separate single-utterance runs), timed at two k values with
+    distinct pre-uploaded buffers; the slope removes the constant dispatch
+    term. Returns (xrt_device, dispatch_floor_s, per_utt_s).
+    """
+
+    def run_k(fm_batch):  # (k, 2, n) -> checksum (forces full execution)
+        def body(carry, fm):
+            wav = process(fm[0], fm[1])
+            return carry + jnp.sum(wav), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), fm_batch)
+        return total
+
+    fn = jax.jit(run_k)
+    medians = {}
+    for k in counts:
+        batches = [
+            jnp.asarray(rng.standard_normal((k, 2, n)).astype(np.float32))
+            for _ in range(reps + 1)
+        ]
+        float(fn(batches[-1]))  # compile/warm per shape
+        ts = []
+        for b in batches[:-1]:
+            t0 = time.perf_counter()
+            float(fn(b))
+            ts.append(time.perf_counter() - t0)
+        medians[k] = float(np.median(ts))
+    k_lo, k_hi = counts
+    per_utt = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo)
+    if per_utt < 20e-6:
+        # slope below timer noise (tiny --small shapes on a fast backend):
+        # fall back to the conservative all-inclusive estimate
+        per_utt = medians[k_hi] / k_hi
+    dispatch = max(medians[k_lo] - k_lo * per_utt, 0.0)
+    return n / SR / per_utt, dispatch, per_utt
+
+
 def _wav_pairs(rng, count, batch, n):
     return [
         (
@@ -60,39 +106,49 @@ def bench_nlms(small=False) -> dict:
     n = 16 * SR if not small else 2 * SR
     n = n // 256 * 256
     rng = np.random.default_rng(0)
-    fn = jax.jit(lambda f, m: jnp.sum(nlms_cancel(NlmsConfig(), f, m)["wav"]))
-    pairs = [(f[0], m[0]) for f, m in _wav_pairs(rng, 4, 1, n)]
-    dt = _time(fn, pairs)
-    return {"metric": "nlms_single_pair_xrt", "value": round(n / SR / dt, 1),
-            "unit": "x_realtime", "vs_baseline": None}
+    counts = (4, 36) if not small else (2, 6)
+    cfg = NlmsConfig()
+    xrt, disp, per_utt = _sequential_device_xrt(
+        lambda f, m: nlms_cancel(cfg, f, m)["wav"], n, rng, counts=counts
+    )
+    return {"metric": "nlms_single_pair_xrt", "value": round(xrt, 1),
+            "unit": "x_realtime", "vs_baseline": None,
+            "utt_ms": round(per_utt * 1e3, 3),
+            "dispatch_floor_ms": round(disp * 1e3, 1)}
 
 
 def bench_kalman(small=False) -> dict:
     n = 16 * SR if not small else 2 * SR
     n = n // 256 * 256
     rng = np.random.default_rng(1)
-    fn = jax.jit(lambda f, m: jnp.sum(kalman_cancel(KalmanConfig(), f, m)["wav"]))
-    pairs = [(f[0], m[0]) for f, m in _wav_pairs(rng, 4, 1, n)]
-    dt = _time(fn, pairs)
-    return {"metric": "kalman_10block_single_utt_xrt", "value": round(n / SR / dt, 1),
-            "unit": "x_realtime", "vs_baseline": None}
+    counts = (4, 36) if not small else (2, 6)
+    cfg = KalmanConfig()
+    xrt, disp, per_utt = _sequential_device_xrt(
+        lambda f, m: kalman_cancel(cfg, f, m)["wav"], n, rng, counts=counts
+    )
+    return {"metric": "kalman_10block_single_utt_xrt", "value": round(xrt, 1),
+            "unit": "x_realtime", "vs_baseline": None,
+            "utt_ms": round(per_utt * 1e3, 3),
+            "dispatch_floor_ms": round(disp * 1e3, 1)}
 
 
 def bench_stage2(small=False) -> dict:
     n = 16 * SR if not small else 2 * SR
     n = n // 256 * 256
     rng = np.random.default_rng(2)
+    counts = (4, 36) if not small else (2, 6)
     params = little_net_init(jax.random.PRNGKey(0))
     erb = jnp.asarray(erb_filterbank())
-    fn = jax.jit(
-        lambda m, f: jnp.sum(
-            little_net_apply(params, m, f, erb, normalize=False)["wav"]
-        )
+    xrt, disp, per_utt = _sequential_device_xrt(
+        lambda m, f: little_net_apply(
+            params, m[None], f[None], erb, normalize=False
+        )["wav"],
+        n, rng, counts=counts,
     )
-    pairs = [(f, m) for f, m in _wav_pairs(rng, 4, 1, n)]
-    dt = _time(fn, pairs)
-    return {"metric": "stage2_single_utt_xrt", "value": round(n / SR / dt, 1),
-            "unit": "x_realtime", "vs_baseline": None}
+    return {"metric": "stage2_single_utt_xrt", "value": round(xrt, 1),
+            "unit": "x_realtime", "vs_baseline": None,
+            "utt_ms": round(per_utt * 1e3, 3),
+            "dispatch_floor_ms": round(disp * 1e3, 1)}
 
 
 def bench_features_1k(small=False) -> dict:
@@ -164,7 +220,7 @@ def bench_concurrent_streams(small=False) -> dict:
     16 ms blocks, vmapped state) one block at a time; a chip sustains the
     load in real time iff the step latency stays under 16 ms. Reported
     capacity = S * (16 ms / measured step)."""
-    from aec_tpu.pipeline.streaming import stream_init_batched, stream_step_batched
+    from aec_tpu.pipeline.streaming import _stream_step_core, stream_init_batched
     from aec_tpu.models.little_net import little_net_init
     from aec_tpu.dsp.erb import erb_filterbank
 
@@ -175,27 +231,46 @@ def bench_concurrent_streams(small=False) -> dict:
     erb = jnp.asarray(erb_filterbank())
     rng = np.random.default_rng(5)
     state = stream_init_batched(s)
-    blocks = [
-        (
-            jnp.asarray(rng.standard_normal((s, hop)).astype(np.float32)),
-            jnp.asarray(rng.standard_normal((s, hop)).astype(np.float32)),
-        )
-        for _ in range(k_steps)
-    ]
-    state, out = stream_step_batched(params, state, *blocks[0], erb)
-    float(jnp.sum(out))  # compile + warmup
-    # chained dispatches, ONE final readback: steps are sequential on device
-    # (state dependency); per-dispatch host roundtrips are a property of the
-    # bench harness, not the chip.
-    t0 = time.perf_counter()
-    for f, m in blocks:
-        state, out = stream_step_batched(params, state, f, m, erb)
-    float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / k_steps
-    capacity = s * (hop / 16000.0) / dt
+
+    # Device-side step cost via the two-point slope (the tunnel's ~25 ms
+    # per-dispatch round trip is a property of this dev harness, not the
+    # chip; a production serving loop pays ~0.1 ms dispatch on local TPU).
+    # k steps run inside ONE program as a lax.scan carrying the stream state
+    # — exactly the serving recursion.
+    def run_k(state, blocks_fm):  # blocks_fm: (k, 2, S, hop)
+        def body(st, fm):
+            st, out = jax.vmap(
+                lambda s1, f, m: _stream_step_core(
+                    params, s1, f, m, erb, StftConfig(), "kalman", None
+                )
+            )(st, fm[0], fm[1])
+            return st, jnp.sum(out)
+
+        st, outs = jax.lax.scan(body, state, blocks_fm)
+        return jnp.sum(outs)
+
+    fn = jax.jit(run_k)
+    k_lo, k_hi = (k_steps // 4, k_steps) if not small else (2, 4)
+    medians = {}
+    for k in (k_lo, k_hi):
+        batches = [
+            jnp.asarray(rng.standard_normal((k, 2, s, hop)).astype(np.float32))
+            for _ in range(3)
+        ]
+        float(fn(state, batches[-1]))
+        ts = []
+        for b in batches[:-1]:
+            t0 = time.perf_counter()
+            float(fn(state, b))
+            ts.append(time.perf_counter() - t0)
+        medians[k] = float(np.median(ts))
+    step_s = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo)
+    if step_s < 20e-6:  # slope below timer noise: conservative fallback
+        step_s = medians[k_hi] / k_hi
+    capacity = s * (hop / 16000.0) / step_s
     return {"metric": "concurrent_realtime_streams_per_chip", "value": round(capacity, 1),
-            "unit": "streams", "vs_baseline": None, "step_ms": round(dt * 1e3, 3),
-            "batch_streams": s}
+            "unit": "streams", "vs_baseline": None,
+            "step_ms": round(step_s * 1e3, 3), "batch_streams": s}
 
 
 BENCHES = {

@@ -128,3 +128,36 @@ def test_two_stage_reduces_echo(rng):
 
     lin_erle = float(erle(jnp.asarray(mic[tail]), jnp.asarray(lin[tail])))
     assert lin_erle > 25.0
+
+
+def test_running_norm_converges_to_offline(rng):
+    """Causal running-stats pseudo-norm (normalize=True): for a long
+    stationary stream the running mean/std scalar converges to the global
+    one, so the streamed tail matches the offline normalize=True output."""
+    params = little_net_init(jax.random.PRNGKey(9))
+    erb = jnp.asarray(erb_filterbank())
+    n = 256 * 256  # ~4.2 s
+    far, mic = _scene(rng, n)
+    # the pseudo-norm scalar is mean/std — give the signals non-zero mean so
+    # normalization is materially active (zero-mean noise makes it a no-op)
+    far = far + 0.8
+    mic = mic + 0.5
+
+    offline = little_net_apply(
+        params, jnp.asarray(mic)[None], jnp.asarray(far)[None], erb, CFG,
+        normalize=True,
+    )["wav"][0]
+    streamed = stream_run(
+        params, far, mic, erb, CFG, stage1="none", normalize=True
+    )
+    assert streamed.shape == (n,)
+    off = np.asarray(offline)
+    scale = float(np.max(np.abs(off)))
+    tail = slice(3 * n // 4, None)
+    err_tail = float(np.max(np.abs(streamed[tail] - off[tail]))) / scale
+    assert err_tail < 2e-2, err_tail
+    # and the normalized mode must actually differ from the unnormalized one
+    streamed_raw = stream_run(
+        params, far, mic, erb, CFG, stage1="none", normalize=False
+    )
+    assert float(np.max(np.abs(streamed - streamed_raw))) / scale > 1e-3
