@@ -13,14 +13,16 @@ Numerics match kalman_step exactly (same equations, fp32); verified in
 tests/test_pallas_kalman.py via interpret mode, and against the scan
 implementation on-device.
 
-PERFORMANCE FINDING (v5e, 256 k samples single stream): this kernel runs at
-~330x realtime (~280x with unroll=8) vs ~530x for the XLA `lax.scan`
-formulation in linear/kalman.py — Mosaic's execution of the small
-(10x257-ish) unaligned elementwise/matmul work is slower than XLA's fused
-scan body, and grid-step overhead is not the limiter. The scan path is
-therefore the production default; this kernel is kept as the measured
-alternative (and the starting point for a future batched-VMEM-resident
-variant where state residency can win).
+PERFORMANCE FINDING (v5e, corrected in round 2): this kernel is the
+single-stream PRODUCTION PATH — **0.95 ms per 16 s utterance (16,778x
+realtime) vs 8.1 ms (1,974x) for the XLA `lax.scan` formulation**, an 8.5x
+speedup, measured as pure device time by the two-point slope over
+sequentially scanned utterances (benchmarks/baseline_configs.py). Round 1
+concluded the opposite ("~330x vs ~530x, kernel slower") because both
+numbers were dominated by this image's ~25 ms per-dispatch tunnel round trip
+— see CLAUDE.md "Performance log". `linear.kalman.kalman_cancel` auto-routes
+single-stream TPU calls here; the vmapped scan remains the batched path
+(large batches saturate the MXU without state residency).
 """
 
 from __future__ import annotations

@@ -133,12 +133,36 @@ def kalman_cancel(
     block: int = 256,
     constrain: bool = True,
     precision=None,
+    fused: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Waveform in/out canceller (BASELINE config #2). [n] or [B, n].
 
     ``precision``: see nlms_cancel — DEFAULT trades ~1.2 dB ERLE for ~1.4x
     throughput on v5e; default stays HIGHEST.
+
+    ``fused``: run the whole recursion as ONE Pallas TPU kernel with the
+    filter state resident in VMEM (kernels/pallas_kalman.py) — measured
+    8.5x faster for the single-stream case (0.95 ms vs 8.1 ms per 16 s
+    utterance on v5e; round-1's opposite conclusion was an artifact of the
+    ~25 ms tunnel dispatch floor, see CLAUDE.md). ``None`` = auto: fused for
+    single-stream ([n]) inputs on the TPU backend at default
+    constrain/precision. The fused path returns ``state=None`` (large-batch
+    workloads keep the vmapped scan, which saturates the MXU on its own).
     """
+    if fused is None:
+        fused = (
+            far.ndim == 1
+            and constrain
+            and precision is None
+            and jax.default_backend() == "tpu"
+        )
+    if fused:
+        if far.ndim != 1:
+            raise ValueError("fused kalman path is single-stream; pass [n] wavs")
+        from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused
+
+        out = kalman_cancel_fused(cfg, far, mic, block=block)
+        return {"wav": out["wav"], "state": None}
     batched = far.ndim == 2
     if not batched:
         far, mic = far[None], mic[None]

@@ -1,13 +1,20 @@
 """Headline benchmark: realtime factor (xRT) of the full two-stage AEC.
 
 Runs the flagship pipeline — stage-1 partitioned-block frequency-domain
-Kalman + stage-2 LittleNet post-filter — over a batch of 16 kHz utterances
-on one chip, and reports audio-seconds processed per wall-second.
+Kalman + stage-2 LittleNet post-filter — over batches of 16 kHz utterances
+on one chip, and reports audio-seconds processed per wall-second of DEVICE
+time.
 
-Timing notes: each timed iteration uses DISTINCT input buffers and the
-result is reduced to a scalar fetched to host (under this image's axon
-relay, ``block_until_ready`` alone can return before remote execution
-finishes and identical executions may be memoized).
+Timing notes (this image's axon relay):
+- every dispatch pays a ~25 ms host<->TPU round trip, so a single timed call
+  overstates device time; we time k=1 and k=3 pipeline repetitions executed
+  sequentially inside one program (lax.scan) and take the slope, which
+  cancels the constant dispatch term;
+- identical executions may be memoized and ``block_until_ready`` can return
+  early, so every repetition consumes DISTINCT on-device jax.random inputs
+  and the result is reduced to a scalar fetched to host;
+- inputs are generated on device (no multi-GB host uploads through the
+  tunnel).
 
 Prints ONE JSON line:
   {"metric": "two_stage_xrt_per_chip", "value": <xRT>, "unit": "x_realtime",
@@ -42,34 +49,45 @@ def main() -> None:
     params = little_net_init(jax.random.PRNGKey(0))
     erb = jnp.asarray(erb_filterbank())
 
-    @jax.jit
-    def pipeline(params, far, mic, erb):
+    def pipeline(far, mic):
         lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
         wav = little_net_apply(params, lin, far, erb, scfg, normalize=False)["wav"]
-        return jnp.sum(wav)  # scalar readback forces completion
+        return jnp.sum(wav)
 
-    rng = np.random.default_rng(0)
-    iters = 4
-    fars = [
-        jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-        for _ in range(iters + 1)
-    ]
-    mics = [
-        jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-        for _ in range(iters + 1)
-    ]
+    @jax.jit
+    def run_k(fm):  # (k, 2, batch, n) -> checksum; k sequential pipeline runs
+        def body(c, x):
+            return c + pipeline(x[0], x[1]), None
 
-    float(pipeline(params, fars[-1], mics[-1], erb))  # compile + warmup
+        return jax.lax.scan(body, jnp.float32(0.0), fm)[0]
 
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        float(pipeline(params, fars[i], mics[i], erb))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    from functools import partial
 
+    @partial(jax.jit, static_argnums=1)
+    def gen(key, k):  # distinct on-device inputs per repetition
+        return jax.random.normal(key, (k, 2, batch, n), jnp.float32)
+
+    key = jax.random.PRNGKey(42)
+    reps = 3
+    medians = {}
+    for k in (1, 3):
+        bufs = [
+            gen(jax.random.fold_in(key, 10 * k + r), k) for r in range(reps + 1)
+        ]
+        jax.block_until_ready(bufs)
+        float(run_k(bufs[-1]))  # compile + warmup per shape
+        ts = []
+        for b in bufs[:-1]:
+            t0 = time.perf_counter()
+            float(run_k(b))
+            ts.append(time.perf_counter() - t0)
+        medians[k] = float(np.median(ts))
+
+    per_call = (medians[3] - medians[1]) / 2.0
+    if per_call < 1e-3:  # slope under timer noise: conservative fallback
+        per_call = medians[3] / 3.0
     audio_seconds = batch * n / sr
-    xrt = audio_seconds / dt
+    xrt = audio_seconds / per_call
     print(
         json.dumps(
             {
@@ -77,6 +95,10 @@ def main() -> None:
                 "value": round(xrt, 1),
                 "unit": "x_realtime",
                 "vs_baseline": round(xrt / 1000.0, 3),
+                "pipeline_ms": round(per_call * 1e3, 2),
+                "dispatch_floor_ms": round(
+                    max(medians[1] - per_call, 0.0) * 1e3, 1
+                ),
             }
         )
     )

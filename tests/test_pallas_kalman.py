@@ -37,3 +37,16 @@ def test_fused_converges(rng):
     tail = slice(-16384, None)
     tail_erle = float(erle(jnp.asarray(mic[tail]), jnp.asarray(e[tail])))
     assert tail_erle > 30.0, tail_erle
+
+
+def test_auto_fuse_off_on_cpu(rng):
+    """kalman_cancel's fused auto-routing stays OFF on the CPU backend (the
+    kernel is TPU-only); explicit fused=False always uses the scan."""
+    cfg = KalmanConfig()
+    n = 8 * 256
+    far = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    mic = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    out = kalman_cancel(cfg, far, mic)  # auto: cpu backend -> scan
+    assert out["state"] is not None  # scan path carries state
+    out2 = kalman_cancel(cfg, far, mic, fused=False)
+    np.testing.assert_array_equal(np.asarray(out["wav"]), np.asarray(out2["wav"]))
