@@ -42,7 +42,7 @@ def main(argv=None) -> None:
                    help="comma list of extra cv metrics (stoi,sisdr); each "
                         "gets a best_<metric>.npz slot — the working version "
                         "of the reference's dead validate_conf "
-                        "(configs.py:49-57). little_net/two_layer_gru only.")
+                        "(configs.py:49-57). Supported by every family.")
     args = p.parse_args(argv)
     logger.info("Arguments:\n%s", pprint.pformat(vars(args)))
 
@@ -75,6 +75,9 @@ def main(argv=None) -> None:
             use_mesh=args.mesh,
             resume_model=args.resume_model,
             time_log=args.time_log,
+            validate_metrics=tuple(
+                m for m in args.validate_metrics.split(",") if m
+            ),
         ).train()
         return
 

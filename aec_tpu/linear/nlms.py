@@ -60,7 +60,7 @@ def nlms_step(
 
     Returns (new_state, e_block [B]) — the echo-cancelled time samples.
     """
-    precision = precision or ols._HIGHEST
+    precision = precision or ols._STAGE1_DEFAULT
     x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
     xr, xi = ols.ri_split(x_buf)  # (L, K) each
     inst_power = jnp.sum(xr * xr + xi * xi, axis=0)
@@ -122,10 +122,12 @@ def nlms_cancel(
     ``far``/``mic``: [n] or [B, n]. Returns echo-cancelled ``wav`` (same
     length as input) plus the final filter state under ``state``.
 
-    ``precision``: DFT-matmul precision; default HIGHEST (full fp32).
-    ``jax.lax.Precision.DEFAULT`` (bf16 passes) is ~1.4x faster end-to-end
-    on v5e at a measured ~1.2 dB ERLE cost (56.6 -> 55.3 dB on the synthetic
-    echo scene) — acceptable when stage-2 follows.
+    ``precision``: DFT-matmul precision; default Precision.HIGH (3-pass
+    bf16), measured ERLE-identical to HIGHEST on the Kalman sibling across
+    four scene types at ~1.5x batched throughput
+    (overlap_save._STAGE1_DEFAULT). Single-pass ``DEFAULT`` is fastest; the
+    round-1 "-1.2 dB" reading for it did not reproduce under round-2's
+    corrected methodology (worst case -0.03 dB), but HIGH is free insurance.
     """
     batched = far.ndim == 2
     if not batched:

@@ -43,9 +43,11 @@ def two_stage_cancel(
     reference trains that way; for enhancement-only runs the default False
     keeps the pipeline causal-equivalent to the streaming runtime).
 
-    ``fast=True`` runs the stage-1 DFT matmuls at default (bf16-pass) MXU
-    precision: ~1.4x throughput for ~1.2 dB stage-1 ERLE on v5e (measured;
-    see linear/nlms.py docstring). Default is full-fp32 parity precision.
+    ``fast=True`` runs the stage-1 DFT matmuls at single-pass bf16 MXU
+    precision (the normal default is already Precision.HIGH, ERLE-identical
+    to fp32 — see overlap_save._STAGE1_DEFAULT). Measured worst-case cost of
+    fast mode is ~0.03 dB stage-1 ERLE (round-2 corrected methodology;
+    see linear/nlms.py docstring).
 
     Returns dict with ``wav`` (final), ``linear_wav`` (stage-1 output), and
     the stage-2 ``mask``.

@@ -36,11 +36,13 @@ from aec_tpu.utils.tools import count_frames, get_logger, num_params
 @dataclasses.dataclass
 class ModelAdapter:
     """Normalizes a model family to: init() -> (params, state|{}),
-    loss(params, state, mic, far, near, echo, train) -> (loss, new_state)."""
+    loss(params, state, mic, far, near, echo, train) -> (loss, new_state),
+    and enhance(params, state, mic, far) -> wav (eval mode, for metrics)."""
 
     init: Callable[[jax.Array], tuple[Any, Any]]
     loss: Callable[..., tuple[jax.Array, Any]]
     stateful: bool
+    enhance: Callable[..., jax.Array] | None = None
 
 
 def make_adapter(name: str, scfg: StftConfig = StftConfig()) -> ModelAdapter:
@@ -57,7 +59,10 @@ def make_adapter(name: str, scfg: StftConfig = StftConfig()) -> ModelAdapter:
             l, _ = spec.loss(params, mic, far, near, erb, scfg, sqrt_eps=1e-12)
             return l, state
 
-        return ModelAdapter(init, loss, stateful=False)
+        def enhance(params, state, mic, far):
+            return spec.apply(params, mic, far, erb, scfg)["wav"]
+
+        return ModelAdapter(init, loss, stateful=False, enhance=enhance)
 
     if name == "fullsubnet":
         from aec_tpu.models.fullsubnet import (
@@ -75,7 +80,12 @@ def make_adapter(name: str, scfg: StftConfig = StftConfig()) -> ModelAdapter:
             l, _ = fullsubnet_loss(params, mic, far, near, echo, cfg)
             return l, state
 
-        return ModelAdapter(init, loss, stateful=False)
+        def enhance(params, state, mic, far):
+            from aec_tpu.models.fullsubnet import fullsubnet_apply
+
+            return fullsubnet_apply(params, mic, far, cfg)["wav"]
+
+        return ModelAdapter(init, loss, stateful=False, enhance=enhance)
 
     if name == "dccrn":
         from aec_tpu.models.dccrn import DccrnConfig, dccrn_init, dccrn_loss_v1
@@ -89,7 +99,12 @@ def make_adapter(name: str, scfg: StftConfig = StftConfig()) -> ModelAdapter:
             l, aux = dccrn_loss_v1(params, state, mic, far, near, echo, cfg, train=train)
             return l, aux["state"]
 
-        return ModelAdapter(init, loss, stateful=True)
+        def enhance(params, state, mic, far):
+            from aec_tpu.models.dccrn import dccrn_apply
+
+            return dccrn_apply(params, state, mic, far, cfg, train=False)[0]["wav"]
+
+        return ModelAdapter(init, loss, stateful=True, enhance=enhance)
 
     if name == "att_ccrn":
         from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_init, att_ccrn_loss
@@ -103,7 +118,12 @@ def make_adapter(name: str, scfg: StftConfig = StftConfig()) -> ModelAdapter:
             l, aux = att_ccrn_loss(params, state, mic, far, near, cfg, train=train)
             return l, aux["state"]
 
-        return ModelAdapter(init, loss, stateful=True)
+        def enhance(params, state, mic, far):
+            from aec_tpu.models.att_ccrn import att_ccrn_apply
+
+            return att_ccrn_apply(params, state, mic, far, cfg, train=False)[0]["wav"]
+
+        return ModelAdapter(init, loss, stateful=True, enhance=enhance)
 
     raise KeyError(f"no training adapter for model {name!r}")
 
@@ -122,6 +142,16 @@ class GenericTrainer:
     bucket_quantum: int = 4096
     resume_model: str = ""
     time_log: str = ""  # per-batch timing lines, like Trainer (train1.py:231-240)
+    # optional cv metrics ("stoi", "sisdr") with best_<metric>.npz slots —
+    # same contract as Trainer.validate_metrics, for every family
+    validate_metrics: tuple[str, ...] = ()
+
+    def __post_init__(self):
+        unknown = set(self.validate_metrics) - {"stoi", "sisdr"}
+        if unknown:
+            raise ValueError(
+                f"unknown validate_metrics {sorted(unknown)}; supported: stoi, sisdr"
+            )
 
     def train(self) -> dict:
         os.makedirs(self.ckpt_dir, exist_ok=True)
@@ -174,9 +204,17 @@ class GenericTrainer:
                 p, s, mic, far, near, echo, False
             )[0]
         )
+        enhance_step = (
+            jax.jit(adapter.enhance)
+            if self.validate_metrics and adapter.enhance is not None
+            else None
+        )
 
         ckpt_info = {"cur_epoch": 0, "cur_iter": 0, "best_loss": float("inf"),
                      "model": self.model}
+        for m in self.validate_metrics:
+            ckpt_info[f"cv_{m}"] = None
+            ckpt_info[f"best_{m}"] = float("-inf")  # higher is better
         if self.resume_model:
             template = {"params": params, "opt_state": opt_state,
                         "model_state": model_state}
@@ -219,17 +257,42 @@ class GenericTrainer:
                         )
                 if (n_iter + 1) % logging_period == 0:
                     cv_loss, cv_frames = 0.0, 0
+                    msum = {m: 0.0 for m in self.validate_metrics}
+                    mcount = {m: 0 for m in self.validate_metrics}
                     for egs in cv_loader:
+                        mic_b = jnp.asarray(egs["nearend_mic"])
+                        far_b = jnp.asarray(egs["farend_speech"])
+                        near_b = jnp.asarray(egs["nearend_speech"])
                         l = eval_step(
-                            params, model_state,
-                            jnp.asarray(egs["nearend_mic"]),
-                            jnp.asarray(egs["farend_speech"]),
-                            jnp.asarray(egs["nearend_speech"]),
+                            params, model_state, mic_b, far_b, near_b,
                             jnp.asarray(egs["echo"]),
                         )
                         f = count_frames(egs["n_samples"], self.scfg.win_len, self.scfg.hop)
                         cv_loss += float(l) * f
                         cv_frames += f
+                        if enhance_step is not None:
+                            import numpy as _np
+
+                            from aec_tpu.train.metrics import si_snr
+                            from aec_tpu.train.stoi import stoi
+
+                            est = _np.asarray(
+                                enhance_step(params, model_state, mic_b, far_b)
+                            )
+                            clean = egs["nearend_speech"]
+                            nn = min(egs["n_samples"], est.shape[-1])
+                            for b in range(clean.shape[0]):
+                                e, c = est[b][:nn], clean[b][:nn]
+                                if "sisdr" in msum:
+                                    msum["sisdr"] += float(
+                                        si_snr(jnp.asarray(e), jnp.asarray(c))
+                                    )
+                                    mcount["sisdr"] += 1
+                                if "stoi" in msum:
+                                    s_val = stoi(c, e)
+                                    if _np.isfinite(s_val):
+                                        msum["stoi"] += s_val
+                                        mcount["stoi"] += 1
                     cv_loss /= max(cv_frames, 1)
                     ckpt_info.update(
                         cur_iter=n_iter, tr_loss=accu_loss / accu_frames, cv_loss=cv_loss
@@ -237,12 +300,21 @@ class GenericTrainer:
                     is_best = cv_loss < ckpt_info["best_loss"]
                     if is_best:
                         ckpt_info["best_loss"] = cv_loss
+                    extra_best = {}
+                    for m in self.validate_metrics:
+                        val = msum[m] / max(mcount[m], 1)
+                        ckpt_info[f"cv_{m}"] = val
+                        improved = val > ckpt_info[f"best_{m}"]
+                        if improved:
+                            ckpt_info[f"best_{m}"] = val
+                        extra_best[f"best_{m}"] = improved
                     if is_primary():
                         checkpoints.save_latest_best(
                             os.path.join(self.ckpt_dir, "models"),
                             {"params": params, "opt_state": opt_state,
                              "model_state": model_state},
                             ckpt_info, is_best,
+                            extra_best=extra_best,
                         )
                         # structured metrics (SURVEY §5.5), Trainer schema
                         audio_s = batch["nearend_mic"].shape[0] * (

@@ -46,3 +46,27 @@ def test_generic_trainer_all_families(tmp_path, rng, model):
 def test_adapter_unknown_model():
     with pytest.raises(KeyError):
         make_adapter("nope")
+
+
+def test_generic_trainer_validate_metrics(tmp_path, rng):
+    """--validate_metrics works for a stateful family: best_<m>.npz written,
+    cv_/best_ slots finite (GenericTrainer counterpart of the Trainer test)."""
+    import numpy as np
+    import os
+
+    paths, cv = _make_dataset(tmp_path, rng)
+    from aec_tpu.configs import TrainConfig
+    from aec_tpu.train.generic import GenericTrainer
+
+    out = GenericTrainer(
+        model="fullsubnet",
+        tr_list=paths,
+        cv_file=cv,
+        ckpt_dir=str(tmp_path / "expm"),
+        cfg=TrainConfig(max_n_epochs=1, batch_size=2, lr=1e-4, seed=0),
+        validate_metrics=("sisdr",),
+    ).train()
+    info = out["ckpt_info"]
+    assert np.isfinite(info["cv_sisdr"])
+    assert info["best_sisdr"] == info["cv_sisdr"]
+    assert os.path.isfile(str(tmp_path / "expm/models/best_sisdr.npz"))
