@@ -116,6 +116,7 @@ def nlms_cancel(
     block: int = 256,
     constrain: bool = True,
     precision=None,
+    fused: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Waveform in/out single-pair canceller (BASELINE config #1).
 
@@ -128,7 +129,26 @@ def nlms_cancel(
     (overlap_save._STAGE1_DEFAULT). Single-pass ``DEFAULT`` is fastest; the
     round-1 "-1.2 dB" reading for it did not reproduce under round-2's
     corrected methodology (worst case -0.03 dB), but HIGH is free insurance.
+
+    ``fused``: whole recursion as one Pallas TPU kernel, VMEM-resident state
+    (kernels/pallas_nlms.py; same design that made the Kalman single-stream
+    path 8.5x faster). None = auto: single-stream [n] inputs on the TPU
+    backend at default constrain/precision. Fused returns ``state=None``.
     """
+    if fused is None:
+        fused = (
+            far.ndim == 1
+            and constrain
+            and precision is None
+            and jax.default_backend() == "tpu"
+        )
+    if fused:
+        if far.ndim != 1:
+            raise ValueError("fused nlms path is single-stream; pass [n] wavs")
+        from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused
+
+        out = nlms_cancel_fused(cfg, far, mic, block=block)
+        return {"wav": out["wav"], "state": None}
     batched = far.ndim == 2
     if not batched:
         far, mic = far[None], mic[None]

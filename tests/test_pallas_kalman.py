@@ -50,3 +50,44 @@ def test_auto_fuse_off_on_cpu(rng):
     assert out["state"] is not None  # scan path carries state
     out2 = kalman_cancel(cfg, far, mic, fused=False)
     np.testing.assert_array_equal(np.asarray(out["wav"]), np.asarray(out2["wav"]))
+
+
+def test_fused_nlms_matches_scan(rng):
+    """Pallas fused NLMS == scan formulation (interpret mode on CPU)."""
+    from aec_tpu.configs import NlmsConfig
+    from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused
+    from aec_tpu.linear.nlms import nlms_cancel
+
+    cfg = NlmsConfig()
+    n = 120 * 256
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(400) / 80.0) * rng.standard_normal(400)).astype(np.float32)
+    rir = 0.5 * rir / np.abs(rir).max()
+    mic = np.convolve(far, rir)[:n].astype(np.float32)
+    want = np.asarray(
+        nlms_cancel(cfg, jnp.asarray(far), jnp.asarray(mic), fused=False)["wav"]
+    )
+    got = np.asarray(
+        nlms_cancel_fused(cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True)["wav"]
+    )
+    scale = max(float(np.abs(want).max()), 1e-9)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale)
+    # echo-cancelling behavior matches the scan's converged tail
+    from aec_tpu.train.metrics import erle
+
+    tail = slice(3 * n // 4, None)
+    e_scan = float(erle(jnp.asarray(mic[tail]), jnp.asarray(want[tail])))
+    e_fused = float(erle(jnp.asarray(mic[tail]), jnp.asarray(got[tail])))
+    assert e_scan > 5.0, e_scan  # adapting on this scene
+    assert abs(e_fused - e_scan) < 0.5, (e_fused, e_scan)
+
+
+def test_nlms_auto_fuse_off_on_cpu(rng):
+    from aec_tpu.configs import NlmsConfig
+    from aec_tpu.linear.nlms import nlms_cancel
+
+    cfg = NlmsConfig()
+    far = jnp.asarray(rng.standard_normal(8 * 256).astype(np.float32))
+    mic = jnp.asarray(rng.standard_normal(8 * 256).astype(np.float32))
+    out = nlms_cancel(cfg, far, mic)  # cpu backend -> scan
+    assert out["state"] is not None
