@@ -51,6 +51,11 @@ class DccrnConfig:
     # net_conf defaults this ON (configs.py:38)
     use_cbn: bool = True
     rnn_layers: int = 2
+    # v2 head (dccrn2.py:99-111): the FINAL decoder stage is a bare complex
+    # transposed conv — no BN, no activation (v1 ends in BN+Tanh,
+    # dccrn.py:495-510). The mask post-processing then lives entirely in the
+    # masking mode.
+    v2_head: bool = False
     stft: StftConfig = StftConfig()
 
 
@@ -78,9 +83,13 @@ def dccrn_init(key: jax.Array, cfg: DccrnConfig = DccrnConfig(), dtype=jnp.float
         conv = cl.complex_conv_init(
             keys[n_enc + (n_enc - 1 - i)], chans[i + 1] * 2, c_out, cfg.kernel, dtype
         )
-        bn_p, bn_s = bn_init(bn_keys[n_enc + (n_enc - 1 - i)], c_out)
-        layer = {"conv": conv, "bn": bn_p}
-        if i > 0:  # final decoder stage ends in Tanh, no PReLU (dccrn.py:495-510)
+        layer = {"conv": conv}
+        if i > 0 or not cfg.v2_head:
+            bn_p, bn_s = bn_init(bn_keys[n_enc + (n_enc - 1 - i)], c_out)
+            layer["bn"] = bn_p
+        else:  # v2: bare conv on the final stage (dccrn2.py:99-111)
+            bn_s = {}
+        if i > 0:  # final v1 stage ends in Tanh, no PReLU (dccrn.py:495-510)
             layer["prelu"] = cl.prelu_init(dtype)
         dec.append(layer)
         dec_state.append({"bn": bn_s})
@@ -164,8 +173,12 @@ def dccrn_apply(
         x = cl.complex_conv_transpose(
             layer["conv"], x, cfg.stride, cfg.padding, output_padding=(1, 0)
         )
-        x, bn_s = bn_apply(layer["bn"], lstate["bn"], x, train=train)
-        x = jnp.tanh(x) if i == len(params["decoder"]) - 1 else cl.prelu(layer["prelu"], x)
+        last = i == len(params["decoder"]) - 1
+        if last and cfg.v2_head:  # bare conv (dccrn2.py:99-111)
+            bn_s = lstate["bn"]
+        else:
+            x, bn_s = bn_apply(layer["bn"], lstate["bn"], x, train=train)
+            x = jnp.tanh(x) if last else cl.prelu(layer["prelu"], x)
         new_dec_state.append({"bn": bn_s})
 
     # mask: re-pad the DC bin (dccrn.py:576-577)
@@ -177,7 +190,9 @@ def dccrn_apply(
         mask_phase = jnp.arctan2(
             mask_im / (mask_mag + 1e-8), mask_re / (mask_mag + 1e-8)
         )
-        mic_mag = jnp.sqrt(mic_re**2 + mic_im**2)
+        # in-sqrt 1e-8 matches the v2 reference (dccrn2.py:139) — the only
+        # reference 'E' path; v1 hard-codes complex-multiply masking
+        mic_mag = jnp.sqrt(mic_re**2 + mic_im**2 + 1e-8)
         mic_phase = jnp.arctan2(mic_im, mic_re)
         est_mag = jnp.tanh(mask_mag) * mic_mag
         est_phase = mic_phase + mask_phase

@@ -82,25 +82,50 @@ def state_dict_from_little_net_params(params) -> dict[str, np.ndarray]:
 
 
 def state_dict_from_dccrn_params(params, state) -> dict[str, np.ndarray]:
-    """Export our DCCRN pytree to the reference v1 module layout
-    (dccrn.py:453-521: ``encoder.{i}.0`` ComplexConv2d / ``.1`` BatchNorm2d /
-    ``.2`` PReLU, mirrored ``decoder.{i}``, ``lstm``), enabling
-    reference-in-the-loop forward parity with shared weights.
+    """Export our DCCRN pytree to the reference module layout, enabling
+    reference-in-the-loop forward parity with shared weights. Two reference
+    targets, auto-detected from the pytree structure:
 
-    Only valid for the plain-LSTM real-BN configuration the reference v1
-    constructor builds (use_clstm=False, use_cbn=False, rnn_layers=1).
+    - v1 (dccrn.py:453-521): ``encoder.{i}.0`` ComplexConv2d / ``.1``
+      BatchNorm2d / ``.2`` PReLU, mirrored ``decoder.{i}`` (Tanh head),
+      plain ``lstm`` — requires DccrnConfig(use_clstm=False, use_cbn=False,
+      rnn_layers=1);
+    - v2 (dccrn2.py): ComplexBatchNorm (Wrr/Wri/Wii/Br/Bi + RM*/RV*
+      buffers) when use_cbn, ``enhance.{i}.{real,imag}_lstm`` complex-LSTM
+      stack when use_clstm, and a bare-conv final decoder stage (v2_head).
     """
-    if not isinstance(params.get("rnn"), dict) or "w_ih" not in params["rnn"]:
+    rnn = params.get("rnn")
+    is_clstm = isinstance(rnn, (list, tuple))
+    if not is_clstm and ("w_ih" not in rnn):
         raise ValueError(
-            "state_dict_from_dccrn_params requires the v1 layout: "
-            "DccrnConfig(use_clstm=False, rnn_layers=1) — got a complex-LSTM "
-            "stack, which has no reference v1 equivalent"
+            "state_dict_from_dccrn_params: unrecognized rnn pytree (expected "
+            "a plain-LSTM dict for v1 or a complex-LSTM list for v2)"
         )
-    if any("scale" not in layer["bn"] for layer in params["encoder"]):
-        raise ValueError(
-            "state_dict_from_dccrn_params requires real BatchNorm "
-            "(DccrnConfig(use_cbn=False)); the reference v1 uses nn.BatchNorm2d"
-        )
+
+    def bn_entries(prefix, layer, lstate):
+        if "bn" not in layer:  # v2 bare-conv head
+            return {}
+        bn = layer["bn"]
+        if "scale" in bn:  # real nn.BatchNorm2d
+            return {
+                f"{prefix}.weight": np.asarray(bn["scale"]),
+                f"{prefix}.bias": np.asarray(bn["bias"]),
+                f"{prefix}.running_mean": np.asarray(lstate["bn"]["mean"]),
+                f"{prefix}.running_var": np.asarray(lstate["bn"]["var"]),
+            }
+        s = lstate["bn"]  # ComplexBatchNorm (dccrn.py:222-248 names)
+        return {
+            f"{prefix}.Wrr": np.asarray(bn["w_rr"]),
+            f"{prefix}.Wri": np.asarray(bn["w_ri"]),
+            f"{prefix}.Wii": np.asarray(bn["w_ii"]),
+            f"{prefix}.Br": np.asarray(bn["b_r"]),
+            f"{prefix}.Bi": np.asarray(bn["b_i"]),
+            f"{prefix}.RMr": np.asarray(s["m_r"]),
+            f"{prefix}.RMi": np.asarray(s["m_i"]),
+            f"{prefix}.RVrr": np.asarray(s["v_rr"]),
+            f"{prefix}.RVri": np.asarray(s["v_ri"]),
+            f"{prefix}.RVii": np.asarray(s["v_ii"]),
+        }
 
     def conv_block(prefix, layer, lstate, *, transpose: bool):
         # ours: HWIO (kh, kw, Cin/2, Cout/2); torch Conv2d wants OIHW,
@@ -111,12 +136,9 @@ def state_dict_from_dccrn_params(params, state) -> dict[str, np.ndarray]:
             f"{prefix}.0.real_conv.bias": np.asarray(layer["conv"]["b_r"]),
             f"{prefix}.0.imag_conv.weight": np.transpose(np.asarray(layer["conv"]["w_i"]), perm),
             f"{prefix}.0.imag_conv.bias": np.asarray(layer["conv"]["b_i"]),
-            f"{prefix}.1.weight": np.asarray(layer["bn"]["scale"]),
-            f"{prefix}.1.bias": np.asarray(layer["bn"]["bias"]),
-            f"{prefix}.1.running_mean": np.asarray(lstate["bn"]["mean"]),
-            f"{prefix}.1.running_var": np.asarray(lstate["bn"]["var"]),
         }
-        if "prelu" in layer:
+        out.update(bn_entries(f"{prefix}.1", layer, lstate))
+        if "prelu" in layer and "bn" in layer:
             out[f"{prefix}.2.weight"] = np.asarray(layer["prelu"]).reshape(1)
         return out
 
@@ -126,16 +148,28 @@ def state_dict_from_dccrn_params(params, state) -> dict[str, np.ndarray]:
         sd.update(conv_block(f"encoder.{i}", layer, lstate, transpose=False))
     for i, (layer, lstate) in enumerate(zip(params["decoder"], state["decoder"])):
         block = conv_block(f"decoder.{i}", layer, lstate, transpose=True)
-        if i == n_dec - 1:  # last decoder stage ends in Tanh (dccrn.py:495-510)
+        if i == n_dec - 1:  # v1 head ends in Tanh: no PReLU entry
             block.pop(f"decoder.{i}.2.weight", None)
         sd.update(block)
-    rnn = params["rnn"]
-    sd.update(
-        {
-            "lstm.weight_ih_l0": np.asarray(rnn["w_ih"]),
-            "lstm.weight_hh_l0": np.asarray(rnn["w_hh"]),
-            "lstm.bias_ih_l0": np.asarray(rnn["b_ih"]),
-            "lstm.bias_hh_l0": np.asarray(rnn["b_hh"]),
-        }
-    )
+    if is_clstm:
+        for i, lp in enumerate(rnn):
+            for part in ("real", "imag"):
+                p = lp[part]
+                sd.update(
+                    {
+                        f"enhance.{i}.{part}_lstm.weight_ih_l0": np.asarray(p["w_ih"]),
+                        f"enhance.{i}.{part}_lstm.weight_hh_l0": np.asarray(p["w_hh"]),
+                        f"enhance.{i}.{part}_lstm.bias_ih_l0": np.asarray(p["b_ih"]),
+                        f"enhance.{i}.{part}_lstm.bias_hh_l0": np.asarray(p["b_hh"]),
+                    }
+                )
+    else:
+        sd.update(
+            {
+                "lstm.weight_ih_l0": np.asarray(rnn["w_ih"]),
+                "lstm.weight_hh_l0": np.asarray(rnn["w_hh"]),
+                "lstm.bias_ih_l0": np.asarray(rnn["b_ih"]),
+                "lstm.bias_hh_l0": np.asarray(rnn["b_hh"]),
+            }
+        )
     return sd

@@ -215,6 +215,68 @@ def test_dccrn_v1_shared_weight_parity(ref, rng):
     assert abs(float(loss) - float(want_loss)) <= 1e-3 * abs(float(want_loss))
 
 
+def test_dccrn_v2_shared_weight_parity(ref, rng):
+    """DCCRN v2 (dccrn2.py: complex-LSTM stack, ComplexBatchNorm, bare-conv
+    head, 'E' masking) with shared weights. dccrn2 imports through a
+    nonexistent package path (`scripts.network.dccrn`, dccrn2.py:7 —
+    unrunnable upstream, SURVEY §2.3); we alias that path to the loaded v1
+    module so the reference's own v2 forward executes as oracle."""
+    import importlib.util
+    import types
+
+    _, _, ref_dccrn = ref
+    # alias scripts.network.dccrn -> the already-imported reference module
+    for name in ("scripts", "scripts.network"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["scripts.network.dccrn"] = ref_dccrn
+    spec = importlib.util.spec_from_file_location(
+        "_ref_dccrn2", f"{REF_SCRIPTS}/network/dccrn2.py"
+    )
+    dccrn2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dccrn2)
+
+    chans = [4, 16, 32]  # reduced width for test speed; structure identical
+    hidden_dim = 256 // (2 ** (len(chans) - 1))  # freq bins at the bottleneck
+    net_conf = dict(
+        win_size=512, hop_size=256, win_type="hann",
+        hidden_dim=hidden_dim, rnn_layers=2, rnn_units=128,
+        use_clstm=True, use_cbn=True, masking_mode="E",
+        conv_channels=chans, kernel_size=(5, 1), stride=(2, 1),
+        padding=(2, 0), dilation=1, groups=1,
+    )
+    jcfg = DccrnConfig(
+        conv_channels=tuple(chans), masking_mode="E",
+        use_clstm=True, use_cbn=True, rnn_layers=2, v2_head=True,
+    )
+    params, state = dccrn_init(jax.random.PRNGKey(11), jcfg)
+    sd = {k: _t(v) for k, v in state_dict_from_dccrn_params(params, state).items()}
+    ref_net = dccrn2.DCCRN(net_conf)
+    from aec_tpu.models.little_net import param_count
+
+    n_ref = sum(p.numel() for p in ref_net.parameters() if p.requires_grad)
+    assert param_count(params) == n_ref
+    missing, unexpected = ref_net.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all(
+        k.startswith(("stft.", "istft.")) or k.endswith("num_batches_tracked")
+        for k in missing
+    )
+    ref_net.eval()
+
+    mic, far, near, echo = _scene(rng, n=8192, batch=1)
+    with torch.no_grad():
+        _, want_wav, _ = ref_net(_t(mic), _t(far), _t(near), _t(echo))
+    out, _ = __import__(
+        "aec_tpu.models.dccrn", fromlist=["dccrn_apply"]
+    ).dccrn_apply(
+        params, state, jnp.asarray(mic), jnp.asarray(far), jcfg, train=False
+    )
+    got_wav = np.asarray(out["wav"])
+    m = min(got_wav.shape[-1], want_wav.shape[-1])
+    assert _rel(got_wav[..., :m], want_wav.numpy()[..., :m]) < 1e-5
+
+
 def test_infer_cli_matches_reference_tester(ref, rng, tmp_path):
     """Same .pt checkpoint -> our infer CLI writes the same enhanced wav the
     reference Tester would (test.py:149-169: batch=1, in-forward pseudo-norm
