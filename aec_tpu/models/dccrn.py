@@ -53,9 +53,10 @@ class DccrnConfig:
     rnn_layers: int = 2
     # v2 head (dccrn2.py:99-111): the FINAL decoder stage is a bare complex
     # transposed conv — no BN, no activation (v1 ends in BN+Tanh,
-    # dccrn.py:495-510). The mask post-processing then lives entirely in the
-    # masking mode.
-    v2_head: bool = False
+    # dccrn.py:495-510). Defaults True: net_conf (configs.py:29-46) is only
+    # consumed by the v2 constructor, so the net_conf-faithful default
+    # architecture is v2 end-to-end (clstm + cbn + bare head + 'E' masking).
+    v2_head: bool = True
     stft: StftConfig = StftConfig()
 
 

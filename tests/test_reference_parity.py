@@ -183,7 +183,10 @@ def test_dccrn_v1_shared_weight_parity(ref, rng):
         conv_channels=[4, 16, 32, 64, 128, 256, 512],
         kernel_size=(5, 1), stride=(2, 1), padding=(2, 0), dilation=1, groups=1,
     )
-    jcfg = DccrnConfig(masking_mode="C", use_clstm=False, use_cbn=False, rnn_layers=1)
+    jcfg = DccrnConfig(
+        masking_mode="C", use_clstm=False, use_cbn=False, rnn_layers=1,
+        v2_head=False,  # v1 ends in BN+Tanh (dccrn.py:495-510)
+    )
     params, state = dccrn_init(jax.random.PRNGKey(3), jcfg)
     sd = {k: _t(v) for k, v in state_dict_from_dccrn_params(params, state).items()}
     ref_net = ref_dccrn.DCCRN(net_conf)
