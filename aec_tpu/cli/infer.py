@@ -190,7 +190,6 @@ def main(argv=None) -> None:
         # reference behavior tolerated for the default model: fresh init
         erb = jnp.asarray(erb_filterbank())
         from aec_tpu.models.little_net import little_net_apply
-        from aec_tpu.pipeline.two_stage import two_stage_cancel  # noqa: F401
 
         params = little_net_init(jax.random.PRNGKey(0))
         lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[args.stage1]

@@ -64,12 +64,22 @@ def little_net_params_from_state_dict(state: dict[str, np.ndarray]) -> dict:
     }
 
 
-def state_dict_from_little_net_params(params) -> dict[str, np.ndarray]:
+def state_dict_from_little_net_params(
+    params, include_dsp_buffers: bool = True
+) -> dict[str, np.ndarray]:
     """Inverse mapping, for exporting our weights to reference tooling.
 
     Also valid for TwoLayerGRUNet params (same module names gru1/linear1/
-    linear2, ERB.py:84-88)."""
-    return {
+    linear2, ERB.py:84-88).
+
+    ``include_dsp_buffers`` additionally emits the fixed ConvSTFT/ConviSTFT
+    buffers (cpx_stft.weight, istft.weight/window/enframe) the reference
+    registers (attention_ccrn.py:39,72-80), built from the same DFT/pinv
+    equations — a reference-trained checkpoint carries them, and the
+    reference Tester loads state dicts strictly (test.py:124), so full
+    interop needs them present.
+    """
+    sd = {
         "gru1.weight_ih_l0": np.asarray(params["gru"]["w_ih"]),
         "gru1.weight_hh_l0": np.asarray(params["gru"]["w_hh"]),
         "gru1.bias_ih_l0": np.asarray(params["gru"]["b_ih"]),
@@ -79,6 +89,18 @@ def state_dict_from_little_net_params(params) -> dict[str, np.ndarray]:
         "linear2.weight": np.asarray(params["lin2"]["w"]),
         "linear2.bias": np.asarray(params["lin2"]["b"]),
     }
+    if include_dsp_buffers:
+        from aec_tpu.dsp.stft import StftConfig, _bases
+        from aec_tpu.dsp.windows import periodic_window
+
+        cfg = StftConfig()
+        analysis, synthesis = _bases(cfg)  # (win, 2K), (2K, win) float64
+        window = periodic_window(cfg.win_type, cfg.win_len)
+        sd["cpx_stft.weight"] = analysis.T.astype(np.float32)[:, None, :]
+        sd["istft.weight"] = synthesis.astype(np.float32)[:, None, :]
+        sd["istft.window"] = window.astype(np.float32)[None, :, None]
+        sd["istft.enframe"] = np.eye(cfg.win_len, dtype=np.float32)[:, None, :]
+    return sd
 
 
 def state_dict_from_dccrn_params(params, state) -> dict[str, np.ndarray]:

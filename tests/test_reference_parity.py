@@ -352,6 +352,108 @@ def test_infer_cli_matches_reference_tester(ref, rng, tmp_path):
     assert _rel(got2, want) > 1e-4  # demonstrably different from the Tester
 
 
+def test_reference_tester_driver_end_to_end(ref, rng, tmp_path, monkeypatch):
+    """THE switch-compatibility proof: the reference's OWN test.py Tester
+    (its dataset, dataloader, CheckPoint loader, forward, and 5-wav writer)
+    runs end-to-end on our .ex file and our .pt checkpoint, and our
+    cli/infer produces the same enhanced waveform from the same inputs.
+
+    Environment shims (this image lacks a GPU and soundfile — compute stays
+    100% reference code): `soundfile.write` -> scipy float32 wav,
+    `torch.Tensor.cuda` -> identity, `train_conf['gpu_ids']` -> CPU.
+    """
+    import importlib.util
+    import os
+    import types
+
+    from scipy.io import wavfile
+
+    from aec_tpu.cli import infer, prepare_data
+    from aec_tpu.pipeline.audio_io import read_wav, write_wav
+
+    # --- fixtures: one utterance, packed by OUR packer (schema-verified) ---
+    n = 8192
+    wav_dir, h5_dir, lists = (str(tmp_path / d) for d in ("wavs", "h5", "lists"))
+    os.makedirs(wav_dir)
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)).astype(np.float32)
+    echo = np.convolve(far, 0.3 * rir)[:n].astype(np.float32)
+    near = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    write_wav(os.path.join(wav_dir, "nearend_speech_fileid_000.wav"), near, 16000)
+    write_wav(os.path.join(wav_dir, "nearend_mic_fileid_000.wav"), near + echo, 16000)
+    write_wav(os.path.join(wav_dir, "farend_speech_fileid_000.wav"), far, 16000)
+    write_wav(os.path.join(wav_dir, "echo_fileid_000.wav"), echo, 16000)
+    prepare_data.main(
+        ["test", "--wav_path", wav_dir, "--h5_path", h5_dir, "--list_path", lists]
+    )
+
+    # --- a .pt checkpoint in the reference's own pickle format ---
+    if REF_SCRIPTS not in sys.path:
+        sys.path.insert(0, REF_SCRIPTS)
+    # the real reference utils.tools (pop any torch_compat pickle stubs)
+    for mod in ("utils", "utils.tools"):
+        sys.modules.pop(mod, None)
+    import utils.tools as ref_tools  # noqa: PLC0415
+
+    params = little_net_init(jax.random.PRNGKey(21))
+    sd = {k: _t(v) for k, v in state_dict_from_little_net_params(params).items()}
+    pt = str(tmp_path / "best_loss.pt")
+    ckpt = ref_tools.CheckPoint({"cur_epoch": 0, "cur_iter": 0}, sd, None)
+    ckpt.save(pt, is_best=False)  # tools.py:71-74
+    # torch>=2.6 defaults weights_only=True, which rejects the reference's
+    # own whole-object pickle (tools.py:79 torch.load with defaults) —
+    # allowlist its class (environment shim, not a logic change)
+    torch.serialization.add_safe_globals([ref_tools.CheckPoint])
+
+    # --- shims ---
+    sf_shim = types.ModuleType("soundfile")
+    sf_shim.write = lambda path, data, sr: wavfile.write(
+        path, sr, np.asarray(data, dtype=np.float32)
+    )
+    monkeypatch.setitem(sys.modules, "soundfile", sf_shim)
+    monkeypatch.setattr(
+        torch.Tensor, "cuda", lambda self, device=None, **kw: self, raising=True
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_test", f"{REF_SCRIPTS}/test.py"
+    )
+    ref_test = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_test)
+    monkeypatch.setitem(ref_test.train_conf, "gpu_ids", [-1])
+
+    est_ref = str(tmp_path / "est_ref")
+    args = types.SimpleNamespace(
+        model_file=pt,
+        ckpt_dir=str(tmp_path / "exp_ref"),
+        est_path=est_ref,
+        filename_list=os.path.join(lists, "filename.txt"),
+        tt_list=os.path.join(lists, "tt_list.txt"),
+    )
+    os.makedirs(args.ckpt_dir)
+    ref_test.Tester(args).test()
+    want, sr = read_wav(os.path.join(est_ref, "test", "0_near_est.wav"))
+    assert sr == 16000
+
+    # --- our CLI on the same .pt and .ex ---
+    est_ours = str(tmp_path / "est_ours")
+    infer.main(
+        ["--tt_list", os.path.join(lists, "tt_list.txt"),
+         "--ckpt_dir", str(tmp_path / "exp_ours"), "--model_file", pt,
+         "--est_path", est_ours]
+    )
+    got, _ = read_wav(os.path.join(est_ours, "test", "0_near_est.wav"))
+    m = min(len(got), len(want))
+    assert _rel(got[:m], want[:m]) < 1e-5
+
+    # passthrough channels are byte-identical
+    for stem in ("near", "far", "mic", "echo"):
+        a, _ = read_wav(os.path.join(est_ref, "test", f"0_{stem}.wav"))
+        b, _ = read_wav(os.path.join(est_ours, "test", f"0_{stem}.wav"))
+        mm = min(len(a), len(b))
+        np.testing.assert_array_equal(a[:mm], b[:mm])
+
+
 def test_countframes_formula_parity():
     """utils/tools.py:30-32 countFrames — loaded from file to dodge the
     torch_compat 'utils.tools' pickle stub that may occupy sys.modules."""
