@@ -33,6 +33,24 @@ def _register_stubs() -> None:
         setattr(sys.modules[mod_name], "CheckPoint", _CheckPointStub)
 
 
+def save_reference_checkpoint(path: str, ckpt_info: dict, net_state_dict) -> None:
+    """Write a ``.pt`` the reference loads WITHOUT this package installed.
+
+    The pickle records the class as ``utils.tools.CheckPoint`` — exactly what
+    the reference's own ``torch.save(self, filename)`` produces
+    (tools.py:71-74) — so its unpickler resolves to ITS class in ITS
+    environment. ``net_state_dict`` values must be torch tensors.
+    """
+    import torch
+
+    cls = type("CheckPoint", (), {"__init__": _CheckPointStub.__init__})
+    cls.__module__ = "utils.tools"
+    cls.__qualname__ = "CheckPoint"
+    _register_stubs()
+    sys.modules["utils.tools"].CheckPoint = cls  # pickle's lookup target
+    torch.save(cls(dict(ckpt_info), net_state_dict, None), path)
+
+
 def load_reference_checkpoint(path: str) -> tuple[dict, dict[str, np.ndarray]]:
     """Load a reference ``.pt`` checkpoint -> (ckpt_info, numpy state dict)."""
     import torch

@@ -471,3 +471,48 @@ def test_countframes_formula_parity():
 
     for n in (1, 255, 256, 257, 16000, 159999):
         assert count_frames(n, 512, 256) == mod.countFrames(n, 512, 256)
+
+
+def test_export_pt_loads_in_reference_environment(rng, tmp_path):
+    """cli/export_pt writes a .pt that unpickles in a process where ONLY the
+    reference tree is importable (no aec_tpu on the path) — the pickle must
+    resolve to utils.tools.CheckPoint, the reference's own class."""
+    import os
+    import subprocess
+    import textwrap
+
+    from aec_tpu.cli import export_pt
+    from aec_tpu.models.little_net import little_net_init
+    from aec_tpu.train import checkpoints
+
+    npz = str(tmp_path / "m.npz")
+    checkpoints.save(
+        npz, {"params": little_net_init(jax.random.PRNGKey(3))},
+        ckpt_info={"cur_epoch": 7, "cur_iter": 42},
+    )
+    pt = str(tmp_path / "m.pt")
+    export_pt.main(["--model_file", npz, "--out", pt])
+
+    worker = tmp_path / "load_ref_side.py"
+    worker.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path = [p for p in sys.path if "repo" not in p]
+        sys.path.insert(0, {REF_SCRIPTS!r})
+        import torch
+        from utils.tools import CheckPoint
+        ckpt = CheckPoint()
+        torch.serialization.add_safe_globals([CheckPoint])
+        ckpt.load({pt!r}, torch.device("cpu"))
+        assert ckpt.ckpt_info["cur_epoch"] == 7, ckpt.ckpt_info
+        assert "gru1.weight_ih_l0" in ckpt.net_state_dict
+        assert "cpx_stft.weight" in ckpt.net_state_dict  # strict-load buffers
+        print("REF-SIDE-OK", type(ckpt).__name__)
+    """))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # reference side has no aec_tpu
+    out = subprocess.run(
+        [sys.executable, str(worker)], env=env,
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "REF-SIDE-OK" in out.stdout

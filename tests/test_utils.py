@@ -76,6 +76,8 @@ def test_torch_state_dict_roundtrip():
         "gru1.weight_ih_l0", "gru1.weight_hh_l0", "gru1.bias_ih_l0",
         "gru1.bias_hh_l0", "linear1.weight", "linear1.bias",
         "linear2.weight", "linear2.bias",
+        # fixed DSP buffers for reference-strict loads (test.py:124)
+        "cpx_stft.weight", "istft.weight", "istft.window", "istft.enframe",
     }
     back = little_net_params_from_state_dict(sd)
     assert num_params(back) == num_params(params)
