@@ -155,6 +155,181 @@ def kalman_filter_fused(
     return out.reshape(t_total, block)[:t_steps]
 
 
+def _kernel_batched(cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int):
+    """Batched variant: ``tile`` utterances advance together per grid step.
+
+    State layout is L-major flat — (L*tile, K) with partition l of utterance
+    j at row ``l*tile + j`` — so the ring-buffer push is a ``tile``-row shift,
+    per-partition reductions are a leading-dim reshape + sum, and the
+    constrained update is ONE (L*tile, 2K) x (2K, 2K) MXU matmul (bigger
+    operands than the single-stream kernel -> better systolic utilization).
+    """
+    a, a2 = cfg.a, cfg.a * cfg.a
+    obs, floor = cfg.obs_smooth, cfg.psi_floor
+
+    def kernel(x_ref, d_ref, inv_ref, fwd_ref, con_ref, e_ref,
+               wr, wi, p, xb, psi):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            wr[:] = jnp.zeros_like(wr)
+            wi[:] = jnp.zeros_like(wi)
+            p[:] = jnp.full_like(p, cfg.init_p)
+            xb[:] = jnp.zeros_like(xb)
+            psi[:] = jnp.full_like(psi, floor)
+
+        for u in range(unroll):
+            # push newest far-frame spectra (tile rows) into the ring buffer
+            x_new = jnp.concatenate([x_ref[0, 0, u], xb[:-tile, :]], axis=0)
+            xb[:] = x_new
+            xr, xi = x_new[:, :k], x_new[:, k:]  # (L*tile, K)
+
+            # predict
+            wr_p, wi_p = a * wr[:], a * wi[:]
+            p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+
+            # prior residual: y = sum_l W X per utterance, time block via MXU
+            yr = jnp.sum((wr_p * xr - wi_p * xi).reshape(l, tile, k), axis=0)
+            yi = jnp.sum((wr_p * xi + wi_p * xr).reshape(l, tile, k), axis=0)
+            y_ri = jnp.concatenate([yr, yi], axis=1)  # (tile, 2K)
+            y_blk = jnp.dot(y_ri, inv_ref[:], preferred_element_type=jnp.float32)
+            e_blk = d_ref[0, 0, u] - y_blk  # (tile, B)
+            e_ref[0, 0, u] = e_blk
+            e_ri = jnp.dot(e_blk, fwd_ref[:], preferred_element_type=jnp.float32)
+            er, ei = e_ri[:, :k], e_ri[:, k:]  # (tile, K)
+
+            psi_new = jnp.maximum(
+                obs * psi[:] + (1.0 - obs) * (er * er + ei * ei), floor
+            )
+            psi[:] = psi_new
+
+            # gain + constrained update
+            x2 = xr * xr + xi * xi  # (L*tile, K)
+            den = (
+                jnp.sum((x2 * p_pred).reshape(l, tile, k), axis=0) + 2.0 * psi_new
+            )  # (tile, K)
+            er_d = jnp.tile(er / den, (l, 1))  # L-major broadcast -> (L*tile, K)
+            ei_d = jnp.tile(ei / den, (l, 1))
+            gr = p_pred * (xr * er_d + xi * ei_d)
+            gi = p_pred * (xr * ei_d - xi * er_d)
+            upd = jnp.dot(
+                jnp.concatenate([gr, gi], axis=1), con_ref[:],
+                preferred_element_type=jnp.float32,
+            )  # (L*tile, 2K)
+            wr[:] = wr_p + upd[:, :k]
+            wi[:] = wi_p + upd[:, k:]
+            den_l = jnp.tile(den, (l, 1))
+            p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / den_l), floor)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "interpret", "unroll", "tile")
+)
+def kalman_filter_fused_batched(
+    cfg: KalmanConfig,
+    x_ri: jax.Array,  # (BATCH, T, 2K) far-frame spectra, [re || im]
+    d_blocks: jax.Array,  # (BATCH, T, B) mic blocks
+    *,
+    block: int = 256,
+    interpret: bool = False,
+    unroll: int = 4,
+    tile: int = 16,
+) -> jax.Array:
+    """Batched fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
+
+    Each batch tile's full state (~53 KB/utterance) stays VMEM-resident
+    across its whole time axis; HBM traffic per step is just the streamed
+    far spectrum + mic block in and the echo-cancelled block out. Returns
+    e blocks (BATCH, T, B). Numerics identical to the scan path modulo MXU
+    matmul rounding (verified in tests/test_pallas_kalman.py).
+    """
+    batch, t_steps, two_k = x_ri.shape
+    k = two_k // 2
+    fwd, inv_tail, constrain = ols._dft_mats(block)
+    l = cfg.n_blocks
+
+    tile = min(tile, batch)
+    b_pad = (-batch) % tile
+    t_pad = (-t_steps) % unroll
+    if b_pad or t_pad:
+        x_ri = jnp.pad(x_ri, [(0, b_pad), (0, t_pad), (0, 0)])
+        d_blocks = jnp.pad(d_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
+    bt = (batch + b_pad) // tile
+    t_total = t_steps + t_pad
+
+    def tm(a, w):  # (B, T, W) -> (bt, T/unroll, unroll, tile, W) time-major
+        a = a.astype(jnp.float32).reshape(bt, tile, t_total, w)
+        a = jnp.swapaxes(a, 1, 2)  # (bt, T, tile, W)
+        return a.reshape(bt, t_total // unroll, unroll, tile, w)
+
+    step = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, unroll, tile, w), lambda b, t: (b, t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        _kernel_batched(cfg, k, tile, l, unroll),
+        grid=(bt, t_total // unroll),
+        in_specs=[
+            step(two_k),
+            step(block),
+            whole(two_k, block),
+            whole(block, two_k),
+            whole(two_k, two_k),
+        ],
+        out_specs=step(block),
+        out_shape=jax.ShapeDtypeStruct(
+            (bt, t_total // unroll, unroll, tile, block), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((l * tile, k), jnp.float32),  # wr
+            pltpu.VMEM((l * tile, k), jnp.float32),  # wi
+            pltpu.VMEM((l * tile, k), jnp.float32),  # p
+            pltpu.VMEM((l * tile, two_k), jnp.float32),  # x ring buffer (ri)
+            pltpu.VMEM((tile, k), jnp.float32),  # psi
+        ],
+        interpret=interpret,
+    )(
+        tm(x_ri, two_k),
+        tm(d_blocks, block),
+        jnp.asarray(inv_tail),
+        jnp.asarray(fwd[block:, :]),
+        jnp.asarray(constrain),
+    )
+    # (bt, T/unroll, unroll, tile, B) -> (BATCH, T, B)
+    out = jnp.swapaxes(
+        out.reshape(bt, t_total, tile, block), 1, 2
+    ).reshape(bt * tile, t_total, block)
+    return out[:batch, :t_steps]
+
+
+def kalman_cancel_fused_batched(
+    cfg: KalmanConfig,
+    far: jax.Array,  # [BATCH, n]
+    mic: jax.Array,
+    *,
+    block: int = 256,
+    interpret: bool = False,
+    tile: int = 16,
+) -> dict[str, jax.Array]:
+    """Waveform in/out batched canceller on the batched fused kernel."""
+    n = mic.shape[-1]
+    farp = ols.pad_to_blocks(far, block)
+    micp = ols.pad_to_blocks(mic, block)
+    x_ri = ols.far_end_spectra(farp, block)
+    d_blocks = micp.reshape(micp.shape[0], -1, block)
+    e = kalman_filter_fused_batched(
+        cfg, x_ri, d_blocks, block=block, interpret=interpret, tile=tile
+    )
+    return {"wav": e.reshape(e.shape[0], -1)[:, :n]}
+
+
 def kalman_cancel_fused(
     cfg: KalmanConfig,
     far: jax.Array,

@@ -91,3 +91,27 @@ def test_nlms_auto_fuse_off_on_cpu(rng):
     mic = jnp.asarray(rng.standard_normal(8 * 256).astype(np.float32))
     out = nlms_cancel(cfg, far, mic)  # cpu backend -> scan
     assert out["state"] is not None
+
+
+def test_kalman_fused_batched_matches_scan(rng):
+    from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched
+
+    cfg = KalmanConfig()
+    b, n = 5, 16 * 256  # odd batch: exercises the tile padding path
+    far = rng.standard_normal((b, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(300) / 60.0) * rng.standard_normal(300)).astype(
+        np.float32
+    )
+    mic = np.stack(
+        [np.convolve(far[i], 0.4 * rir)[:n] for i in range(b)]
+    ).astype(np.float32)
+    want = np.asarray(
+        kalman_cancel(cfg, jnp.asarray(far), jnp.asarray(mic), fused=False)["wav"]
+    )
+    got = np.asarray(
+        kalman_cancel_fused_batched(
+            cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True, tile=2
+        )["wav"]
+    )
+    scale = max(float(np.abs(want).max()), 1e-9)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale)
