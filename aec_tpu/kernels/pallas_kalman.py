@@ -21,8 +21,21 @@ sequentially scanned utterances (benchmarks/baseline_configs.py). Round 1
 concluded the opposite ("~330x vs ~530x, kernel slower") because both
 numbers were dominated by this image's ~25 ms per-dispatch tunnel round trip
 — see CLAUDE.md "Performance log". `linear.kalman.kalman_cancel` auto-routes
-single-stream TPU calls here; the vmapped scan remains the batched path
-(large batches saturate the MXU without state residency).
+single-stream TPU calls here; the vmapped scan remains the batched path.
+
+BATCHED KERNEL FINDING (v5e, round 2): `kalman_filter_fused_batched` keeps a
+whole batch tile's state VMEM-resident, but at throughput batch sizes the
+XLA scan WINS at every equal quality tier (batch 256 x 512 blocks, slope
+method): scan 32.5 / 20.6 / 19.7 ms at HIGH / mixed / DEFAULT precision vs
+kernel 36.2 / 24.9 / 23.6 ms at high / mixed / bf16 dot_mode — the kernel
+pays VPU lane-padding (K=257 -> 384 lanes) and relayout costs that XLA's
+big-batch elementwise fusion avoids, and it is NOT matmul-bound (bf16 vs
+f32 dot operands measure identical). The batched kernel therefore serves
+the LOW-LATENCY small-batch regime; `kalman_cancel` keeps the scan for
+batched inputs. Quality per dot_mode is measured in
+benchmarks/validate_precision.py: "high" == Precision.HIGH == fp32 ERLE;
+"mixed" == -0.16 dB worst case; "bf16" == -1.45 dB worst case (both only
+on >40 dB-ERLE scenes).
 """
 
 from __future__ import annotations
@@ -35,15 +48,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aec_tpu.configs import KalmanConfig
+from aec_tpu.kernels import precision as prec
 from aec_tpu.linear import overlap_save as ols
 
 
-def _kernel(cfg: KalmanConfig, k: int, block: int, unroll: int):
+def _kernel(cfg: KalmanConfig, k: int, block: int, unroll: int, dot_mode: str):
     a, a2 = cfg.a, cfg.a * cfg.a
     obs, floor = cfg.obs_smooth, cfg.psi_floor
+    # "mixed": only the cancellation-critical y transform runs bf16_3x
+    # (see linear/kalman.kalman_step docstring); residual/update run 1-pass.
+    dot_y = prec.dot_high if dot_mode in ("high", "mixed") else prec.dot_fast
+    dot_r = prec.dot_high if dot_mode == "high" else prec.dot_fast
 
-    def kernel(x_ref, d_ref, inv_ref, fwd_ref, con_ref, e_ref,
-               wr, wi, p, xb, psi):
+    def kernel(x_ref, d_ref, inv_hi, inv_lo, fwd_hi, fwd_lo, con_hi, con_lo,
+               e_ref, wr, wi, p, xb, psi):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -70,10 +88,10 @@ def _kernel(cfg: KalmanConfig, k: int, block: int, unroll: int):
             yr = jnp.sum(wr_p * xr - wi_p * xi, axis=0, keepdims=True)  # (1, K)
             yi = jnp.sum(wr_p * xi + wi_p * xr, axis=0, keepdims=True)
             y_ri = jnp.concatenate([yr, yi], axis=1)  # (1, 2K)
-            y_blk = jnp.dot(y_ri, inv_ref[:], preferred_element_type=jnp.float32)
+            y_blk = dot_y(y_ri, inv_hi, inv_lo)
             e_blk = d_ref[0, u : u + 1] - y_blk  # (1, B)
             e_ref[0, u : u + 1] = e_blk
-            e_ri = jnp.dot(e_blk, fwd_ref[:], preferred_element_type=jnp.float32)
+            e_ri = dot_r(e_blk, fwd_hi, fwd_lo)
             er, ei = e_ri[:, :k], e_ri[:, k:]  # (1, K)
 
             psi_new = jnp.maximum(
@@ -87,10 +105,7 @@ def _kernel(cfg: KalmanConfig, k: int, block: int, unroll: int):
             er_d, ei_d = er / den, ei / den
             gr = p_pred * (xr * er_d + xi * ei_d)
             gi = p_pred * (xr * ei_d - xi * er_d)
-            upd = jnp.dot(
-                jnp.concatenate([gr, gi], axis=1), con_ref[:],
-                preferred_element_type=jnp.float32,
-            )  # (L, 2K)
+            upd = dot_r(jnp.concatenate([gr, gi], axis=1), con_hi, con_lo)  # (L, 2K)
             wr[:] = wr_p + upd[:, :k]
             wi[:] = wi_p + upd[:, k:]
             p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / den), floor)
@@ -98,7 +113,9 @@ def _kernel(cfg: KalmanConfig, k: int, block: int, unroll: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "interpret", "unroll", "dot_mode")
+)
 def kalman_filter_fused(
     cfg: KalmanConfig,
     x_ri: jax.Array,  # (T, 2K) far-frame spectra, [re || im]
@@ -107,6 +124,7 @@ def kalman_filter_fused(
     block: int = 256,
     interpret: bool = False,
     unroll: int = 1,
+    dot_mode: str = "high",
 ) -> jax.Array:
     """Run the full Kalman recursion in one Pallas kernel -> e blocks (T, B).
 
@@ -123,15 +141,21 @@ def kalman_filter_fused(
         d_blocks = jnp.pad(d_blocks, [(0, t_pad), (0, 0)])
     t_total = t_steps + t_pad
 
+    const = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
-        _kernel(cfg, k, block, unroll),
+        _kernel(cfg, k, block, unroll, dot_mode),
         grid=(t_total // unroll,),
         in_specs=[
             pl.BlockSpec((1, unroll, two_k), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, unroll, block), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((two_k, block), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, two_k), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((two_k, two_k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            const(two_k, block),
+            const(two_k, block),
+            const(block, two_k),
+            const(block, two_k),
+            const(two_k, two_k),
+            const(two_k, two_k),
         ],
         out_specs=pl.BlockSpec(
             (1, unroll, block), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
@@ -148,14 +172,16 @@ def kalman_filter_fused(
     )(
         x_ri.astype(jnp.float32).reshape(t_total // unroll, unroll, two_k),
         d_blocks.astype(jnp.float32).reshape(t_total // unroll, unroll, block),
-        jnp.asarray(inv_tail),
-        jnp.asarray(fwd[block:, :]),
-        jnp.asarray(constrain),
+        *prec.split_hi_lo(inv_tail),
+        *prec.split_hi_lo(fwd[block:, :]),
+        *prec.split_hi_lo(constrain),
     )
     return out.reshape(t_total, block)[:t_steps]
 
 
-def _kernel_batched(cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int):
+def _kernel_batched(
+    cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str
+):
     """Batched variant: ``tile`` utterances advance together per grid step.
 
     State layout is L-major flat — (L*tile, K) with partition l of utterance
@@ -163,12 +189,23 @@ def _kernel_batched(cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int):
     per-partition reductions are a leading-dim reshape + sum, and the
     constrained update is ONE (L*tile, 2K) x (2K, 2K) MXU matmul (bigger
     operands than the single-stream kernel -> better systolic utilization).
+
+    ``dot_mode``: "high" (default) runs every DFT matmul as an explicit
+    bf16_3x decomposition — numerically equivalent to the scan path's
+    ``Precision.HIGH``, which is measured ERLE-identical to full fp32
+    (kernels/precision.py has the background: Mosaic would otherwise degrade
+    f32 dots to single-pass bf16, costing up to 1.45 dB tail-ERLE). "bf16"
+    is the single-pass variant (Precision.DEFAULT equivalent).
     """
     a, a2 = cfg.a, cfg.a * cfg.a
     obs, floor = cfg.obs_smooth, cfg.psi_floor
+    # "mixed": only the cancellation-critical y transform runs bf16_3x
+    # (see linear/kalman.kalman_step docstring); residual/update run 1-pass.
+    dot_y = prec.dot_high if dot_mode in ("high", "mixed") else prec.dot_fast
+    dot_r = prec.dot_high if dot_mode == "high" else prec.dot_fast
 
-    def kernel(x_ref, d_ref, inv_ref, fwd_ref, con_ref, e_ref,
-               wr, wi, p, xb, psi):
+    def kernel(x_ref, d_ref, inv_hi, inv_lo, fwd_hi, fwd_lo, con_hi, con_lo,
+               e_ref, wr, wi, p, xb, psi):
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -193,10 +230,10 @@ def _kernel_batched(cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int):
             yr = jnp.sum((wr_p * xr - wi_p * xi).reshape(l, tile, k), axis=0)
             yi = jnp.sum((wr_p * xi + wi_p * xr).reshape(l, tile, k), axis=0)
             y_ri = jnp.concatenate([yr, yi], axis=1)  # (tile, 2K)
-            y_blk = jnp.dot(y_ri, inv_ref[:], preferred_element_type=jnp.float32)
+            y_blk = dot_y(y_ri, inv_hi, inv_lo)
             e_blk = d_ref[0, 0, u] - y_blk  # (tile, B)
             e_ref[0, 0, u] = e_blk
-            e_ri = jnp.dot(e_blk, fwd_ref[:], preferred_element_type=jnp.float32)
+            e_ri = dot_r(e_blk, fwd_hi, fwd_lo)
             er, ei = e_ri[:, :k], e_ri[:, k:]  # (tile, K)
 
             psi_new = jnp.maximum(
@@ -213,10 +250,7 @@ def _kernel_batched(cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int):
             ei_d = jnp.tile(ei / den, (l, 1))
             gr = p_pred * (xr * er_d + xi * ei_d)
             gi = p_pred * (xr * ei_d - xi * er_d)
-            upd = jnp.dot(
-                jnp.concatenate([gr, gi], axis=1), con_ref[:],
-                preferred_element_type=jnp.float32,
-            )  # (L*tile, 2K)
+            upd = dot_r(jnp.concatenate([gr, gi], axis=1), con_hi, con_lo)  # (L*tile, 2K)
             wr[:] = wr_p + upd[:, :k]
             wi[:] = wi_p + upd[:, k:]
             den_l = jnp.tile(den, (l, 1))
@@ -226,7 +260,8 @@ def _kernel_batched(cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block", "interpret", "unroll", "tile")
+    jax.jit,
+    static_argnames=("cfg", "block", "interpret", "unroll", "tile", "dot_mode"),
 )
 def kalman_filter_fused_batched(
     cfg: KalmanConfig,
@@ -237,6 +272,7 @@ def kalman_filter_fused_batched(
     interpret: bool = False,
     unroll: int = 4,
     tile: int = 16,
+    dot_mode: str = "high",
 ) -> jax.Array:
     """Batched fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
 
@@ -274,13 +310,16 @@ def kalman_filter_fused_batched(
     )
 
     out = pl.pallas_call(
-        _kernel_batched(cfg, k, tile, l, unroll),
+        _kernel_batched(cfg, k, tile, l, unroll, dot_mode),
         grid=(bt, t_total // unroll),
         in_specs=[
             step(two_k),
             step(block),
             whole(two_k, block),
+            whole(two_k, block),
             whole(block, two_k),
+            whole(block, two_k),
+            whole(two_k, two_k),
             whole(two_k, two_k),
         ],
         out_specs=step(block),
@@ -298,9 +337,9 @@ def kalman_filter_fused_batched(
     )(
         tm(x_ri, two_k),
         tm(d_blocks, block),
-        jnp.asarray(inv_tail),
-        jnp.asarray(fwd[block:, :]),
-        jnp.asarray(constrain),
+        *prec.split_hi_lo(inv_tail),
+        *prec.split_hi_lo(fwd[block:, :]),
+        *prec.split_hi_lo(constrain),
     )
     # (bt, T/unroll, unroll, tile, B) -> (BATCH, T, B)
     out = jnp.swapaxes(
@@ -317,6 +356,8 @@ def kalman_cancel_fused_batched(
     block: int = 256,
     interpret: bool = False,
     tile: int = 16,
+    unroll: int = 4,
+    dot_mode: str = "high",
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched canceller on the batched fused kernel."""
     n = mic.shape[-1]
@@ -325,7 +366,8 @@ def kalman_cancel_fused_batched(
     x_ri = ols.far_end_spectra(farp, block)
     d_blocks = micp.reshape(micp.shape[0], -1, block)
     e = kalman_filter_fused_batched(
-        cfg, x_ri, d_blocks, block=block, interpret=interpret, tile=tile
+        cfg, x_ri, d_blocks, block=block, interpret=interpret, tile=tile,
+        unroll=unroll, dot_mode=dot_mode,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}
 

@@ -23,13 +23,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aec_tpu.configs import NlmsConfig
+from aec_tpu.kernels import precision as prec
 from aec_tpu.linear import overlap_save as ols
 
 
-def _kernel(cfg: NlmsConfig, k: int, block: int, unroll: int):
+def _kernel(cfg: NlmsConfig, k: int, block: int, unroll: int, dot_mode: str):
     ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
+    # "mixed": only the cancellation-critical y transform runs bf16_3x
+    # (see linear/kalman.kalman_step docstring); residual/update run 1-pass.
+    dot_y = prec.dot_high if dot_mode in ("high", "mixed") else prec.dot_fast
+    dot_r = prec.dot_high if dot_mode == "high" else prec.dot_fast
 
-    def kernel(x_ref, d_ref, inv_ref, fwd_ref, con_ref, e_ref, wr, wi, xb, power):
+    def kernel(x_ref, d_ref, inv_hi, inv_lo, fwd_hi, fwd_lo, con_hi, con_lo,
+               e_ref, wr, wi, xb, power):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -54,27 +60,26 @@ def _kernel(cfg: NlmsConfig, k: int, block: int, unroll: int):
             yr = jnp.sum(wr[:] * xr - wi[:] * xi, axis=0, keepdims=True)
             yi = jnp.sum(wr[:] * xi + wi[:] * xr, axis=0, keepdims=True)
             y_ri = jnp.concatenate([yr, yi], axis=1)  # (1, 2K)
-            y_blk = jnp.dot(y_ri, inv_ref[:], preferred_element_type=jnp.float32)
+            y_blk = dot_y(y_ri, inv_hi, inv_lo)
             e_blk = d_ref[0, u : u + 1] - y_blk
             e_ref[0, u : u + 1] = e_blk
-            e_ri = jnp.dot(e_blk, fwd_ref[:], preferred_element_type=jnp.float32)
+            e_ri = dot_r(e_blk, fwd_hi, fwd_lo)
             er, ei = e_ri[:, :k], e_ri[:, k:]  # (1, K)
 
             # conj(X) E / power, constrained, applied with step size mu
             inv_p = 1.0 / (p_new + eps)
             gr = (xr * er + xi * ei) * inv_p  # (L, K)
             gi = (xr * ei - xi * er) * inv_p
-            grad = jnp.dot(
-                jnp.concatenate([gr, gi], axis=1), con_ref[:],
-                preferred_element_type=jnp.float32,
-            )  # (L, 2K)
+            grad = dot_r(jnp.concatenate([gr, gi], axis=1), con_hi, con_lo)  # (L, 2K)
             wr[:] = wr[:] + mu * grad[:, :k]
             wi[:] = wi[:] + mu * grad[:, k:]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "interpret", "unroll", "dot_mode")
+)
 def nlms_filter_fused(
     cfg: NlmsConfig,
     x_ri: jax.Array,  # (T, 2K) far-frame spectra, [re || im]
@@ -83,8 +88,12 @@ def nlms_filter_fused(
     block: int = 256,
     interpret: bool = False,
     unroll: int = 1,
+    dot_mode: str = "high",
 ) -> jax.Array:
-    """Run the full NLMS recursion in one Pallas kernel -> e blocks (T, B)."""
+    """Run the full NLMS recursion in one Pallas kernel -> e blocks (T, B).
+
+    ``dot_mode="high"`` (default) decomposes the DFT matmuls as bf16_3x —
+    Precision.HIGH-equivalent numerics (see kernels/precision.py)."""
     t_steps, two_k = x_ri.shape
     k = two_k // 2
     fwd, inv_tail, constrain = ols._dft_mats(block)
@@ -95,15 +104,21 @@ def nlms_filter_fused(
         d_blocks = jnp.pad(d_blocks, [(0, t_pad), (0, 0)])
     t_total = t_steps + t_pad
 
+    const = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
-        _kernel(cfg, k, block, unroll),
+        _kernel(cfg, k, block, unroll, dot_mode),
         grid=(t_total // unroll,),
         in_specs=[
             pl.BlockSpec((1, unroll, two_k), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, unroll, block), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((two_k, block), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, two_k), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((two_k, two_k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            const(two_k, block),
+            const(two_k, block),
+            const(block, two_k),
+            const(block, two_k),
+            const(two_k, two_k),
+            const(two_k, two_k),
         ],
         out_specs=pl.BlockSpec(
             (1, unroll, block), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
@@ -119,9 +134,9 @@ def nlms_filter_fused(
     )(
         x_ri.astype(jnp.float32).reshape(t_total // unroll, unroll, two_k),
         d_blocks.astype(jnp.float32).reshape(t_total // unroll, unroll, block),
-        jnp.asarray(inv_tail),
-        jnp.asarray(fwd[block:, :]),
-        jnp.asarray(constrain),
+        *prec.split_hi_lo(inv_tail),
+        *prec.split_hi_lo(fwd[block:, :]),
+        *prec.split_hi_lo(constrain),
     )
     return out.reshape(t_total, block)[:t_steps]
 

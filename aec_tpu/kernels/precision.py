@@ -1,0 +1,49 @@
+"""bf16_3x matmul decomposition for Pallas TPU kernels.
+
+Mosaic lowers a float32 ``jnp.dot`` to a SINGLE-pass bf16 MXU matmul (only
+the accumulator honors ``preferred_element_type``), so kernels that need
+XLA's ``Precision.HIGH`` numerics — measured ERLE-identical to full fp32 for
+the stage-1 filters (benchmarks/validate_precision.py), while single-pass
+bf16 loses up to 1.45 dB tail-ERLE on high-ERLE scenes — must decompose
+explicitly:
+
+    x @ m  ~=  x_hi @ m_hi + x_hi @ m_lo + x_lo @ m_hi
+
+with ``v_hi = bf16(v)`` and ``v_lo = bf16(v - f32(v_hi))`` (the classic
+bfloat16_3x split; the dropped x_lo @ m_lo term is O(eps^2)). Constant
+matrices are split once outside the kernel; the dynamic operand splits
+in-kernel on the VPU. The fused Kalman/NLMS kernels are NOT matmul-bound
+(bf16 vs f32 dot operands measured identical throughput), so the two extra
+MXU passes are effectively free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_hi_lo(m) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """float32 matrix -> (hi, lo) bf16 pair with hi + lo ~= m."""
+    m = np.asarray(m, np.float32)
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def dot_high(x, m_hi_ref, m_lo_ref):
+    """bf16_3x product of a float32 operand with a pre-split matrix ref."""
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(x_hi, m_hi_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(x_hi, m_lo_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(x_lo, m_hi_ref[:], preferred_element_type=jnp.float32)
+    )
+
+
+def dot_fast(x, m_hi_ref, _m_lo_ref=None):
+    """Single-pass bf16 product (Precision.DEFAULT equivalent)."""
+    return jnp.dot(
+        x.astype(jnp.bfloat16), m_hi_ref[:], preferred_element_type=jnp.float32
+    )

@@ -63,8 +63,22 @@ def kalman_step(
     constrain: bool = True,
     precision=None,
 ) -> tuple[KalmanState, jax.Array]:
-    """One block update; far frame ri spectrum [2K], mic block [B] -> e [B]."""
+    """One block update; far frame ri spectrum [2K], mic block [B] -> e [B].
+
+    ``precision`` may be a single ``jax.lax.Precision`` for all three DFT
+    matmuls, or a tuple ``(p_y, p_e, p_constrain)``. The numerically
+    sensitive transform is the Y one (spectrum_to_block of the echo
+    estimate): e = d - y CANCELS two nearly-equal signals, so y's relative
+    matmul error bounds the achievable ERLE (single-pass bf16's ~0.4%
+    caps it near 48 dB — measured as a -1.4 dB tail-ERLE loss on a 46 dB
+    scene, benchmarks/validate_precision.py). The E and constraint matmuls
+    act on the residual/update with no cancellation and tolerate bf16.
+    """
     precision = precision or ols._STAGE1_DEFAULT
+    if isinstance(precision, tuple):
+        p_y, p_e, p_c = precision
+    else:
+        p_y = p_e = p_c = precision
     x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
     xr, xi = ols.ri_split(x_buf)  # (L, K)
     a2 = cfg.a * cfg.a
@@ -78,8 +92,8 @@ def kalman_step(
     y_ri = ols.ri_join(
         jnp.sum(wr_p * xr - wi_p * xi, axis=0), jnp.sum(wr_p * xi + wi_p * xr, axis=0)
     )
-    e_block = d_t - ols.spectrum_to_block(y_ri, block, precision)
-    e_ri = ols.block_to_spectrum(e_block, block, precision)
+    e_block = d_t - ols.spectrum_to_block(y_ri, block, p_y)
+    e_ri = ols.block_to_spectrum(e_block, block, p_e)
     er, ei = ols.ri_split(e_ri)
     psi = cfg.obs_smooth * state["psi"] + (1.0 - cfg.obs_smooth) * (er * er + ei * ei)
     psi = jnp.maximum(psi, cfg.psi_floor)
@@ -92,7 +106,7 @@ def kalman_step(
         p_pred * (xr * er_d + xi * ei_d), p_pred * (xr * ei_d - xi * er_d)
     )
     if constrain:
-        upd = ols.constrain_gradient(upd, block, precision)
+        upd = ols.constrain_gradient(upd, block, p_c)
     w = ols.ri_join(wr_p, wi_p) + upd
     p = p_pred * (1.0 - p_pred * x_mag2 / den)
     p = jnp.maximum(p, cfg.psi_floor)
@@ -137,10 +151,13 @@ def kalman_cancel(
 ) -> dict[str, jax.Array]:
     """Waveform in/out canceller (BASELINE config #2). [n] or [B, n].
 
-    ``precision``: default is Precision.HIGH — measured ERLE-identical to
-    HIGHEST across echo-only/long-RIR/double-talk/path-change scenes at ~1.5x
-    batched throughput (overlap_save._STAGE1_DEFAULT). Pass HIGHEST to force
-    full fp32 passes or DEFAULT for max speed (~-0.03 dB worst case).
+    ``precision``: default is per-op MIXED precision — the
+    cancellation-critical y matmul at Precision.HIGH, the residual/update
+    matmuls at DEFAULT (see overlap_save._STAGE1_DEFAULT for the measured
+    quality/speed table: -0.16 dB tail-ERLE worst case, only on scenes
+    already >40 dB ERLE, at 1.58x batched throughput vs all-HIGH). Pass a
+    single Precision (HIGH/HIGHEST) for parity-grade runs, or a
+    ``(p_y, p_e, p_constrain)`` tuple for custom splits.
 
     ``fused``: run the whole recursion as ONE Pallas TPU kernel with the
     filter state resident in VMEM (kernels/pallas_kalman.py) — measured

@@ -61,6 +61,10 @@ def nlms_step(
     Returns (new_state, e_block [B]) — the echo-cancelled time samples.
     """
     precision = precision or ols._STAGE1_DEFAULT
+    if isinstance(precision, tuple):  # per-op (p_y, p_e, p_constrain) — the
+        p_y, p_e, p_c = precision     # y matmul is the cancellation-critical
+    else:                             # one (see kalman.kalman_step docstring)
+        p_y = p_e = p_c = precision
     x_buf = jnp.concatenate([x_t[None, :], state["x_buf"][:-1]], axis=0)
     xr, xi = ols.ri_split(x_buf)  # (L, K) each
     inst_power = jnp.sum(xr * xr + xi * xi, axis=0)
@@ -70,15 +74,15 @@ def nlms_step(
     y_ri = ols.ri_join(
         jnp.sum(wr * xr - wi * xi, axis=0), jnp.sum(wr * xi + wi * xr, axis=0)
     )
-    e_block = d_t - ols.spectrum_to_block(y_ri, block, precision)  # (B,)
-    e_ri = ols.block_to_spectrum(e_block, block, precision)  # (2K,)
+    e_block = d_t - ols.spectrum_to_block(y_ri, block, p_y)  # (B,)
+    e_ri = ols.block_to_spectrum(e_block, block, p_e)  # (2K,)
     er, ei = ols.ri_split(e_ri)
 
     # conj(X) * E / power  (complex multiply with conjugated X, per partition)
     inv_p = 1.0 / (power + cfg.eps)
     grad = ols.ri_join((xr * er + xi * ei) * inv_p, (xr * ei - xi * er) * inv_p)
     if constrain:
-        grad = ols.constrain_gradient(grad, block, precision)
+        grad = ols.constrain_gradient(grad, block, p_c)
     w = state["w"] + cfg.mu * grad
     return NlmsState(w=w, x_buf=x_buf, power=power), e_block
 
@@ -123,12 +127,12 @@ def nlms_cancel(
     ``far``/``mic``: [n] or [B, n]. Returns echo-cancelled ``wav`` (same
     length as input) plus the final filter state under ``state``.
 
-    ``precision``: DFT-matmul precision; default Precision.HIGH (3-pass
-    bf16), measured ERLE-identical to HIGHEST on the Kalman sibling across
-    four scene types at ~1.5x batched throughput
-    (overlap_save._STAGE1_DEFAULT). Single-pass ``DEFAULT`` is fastest; the
-    round-1 "-1.2 dB" reading for it did not reproduce under round-2's
-    corrected methodology (worst case -0.03 dB), but HIGH is free insurance.
+    ``precision``: DFT-matmul precision; default is per-op MIXED — the
+    cancellation-critical y matmul at Precision.HIGH, residual/update at
+    DEFAULT (overlap_save._STAGE1_DEFAULT documents the measured table on
+    the Kalman sibling: -0.16 dB tail-ERLE worst case, only on >40 dB-ERLE
+    scenes, at 1.58x batched throughput vs all-HIGH). Accepts a single
+    Precision or a ``(p_y, p_e, p_constrain)`` tuple.
 
     ``fused``: whole recursion as one Pallas TPU kernel, VMEM-resident state
     (kernels/pallas_nlms.py; same design that made the Kalman single-stream

@@ -32,12 +32,24 @@ from aec_tpu.dsp.stft import frame_signal
 
 # Parity-grade fp32 matmuls (TPU would otherwise use bf16 passes).
 _HIGHEST = jax.lax.Precision.HIGHEST
-# Stage-1 production default. Measured on v5e across echo-only / 400 ms-RIR /
-# double-talk / path-change scenes: Precision.HIGH (3-pass bf16) gives ERLE
-# IDENTICAL to HIGHEST (delta +-0.000 dB) at ~1.5x batched throughput
-# (45 -> 30 ms for 256 x 8.2 s); even DEFAULT only costs 0.03 dB worst-case.
-# HIGHEST remains available via the precision= knob.
-_STAGE1_DEFAULT = jax.lax.Precision.HIGH
+# Stage-1 production default: PER-OP mixed precision (p_y, p_e, p_constrain).
+# Only the Y transform (echo-estimate spectrum -> time block) is
+# cancellation-critical: e = d - y subtracts two nearly equal signals, so y's
+# relative matmul error bounds the reachable ERLE (see kalman.kalman_step).
+# Measured on v5e (benchmarks/validate_precision.py, tail ERLE vs HIGHEST):
+#   all-HIGH:        +-0.000 dB on every scene; 32.5 ms for 256 x 8.2 s
+#   mixed (this):    -0.16 dB worst case, ONLY on scenes already >40 dB ERLE
+#                    (echo-only 46.6 dB, long-RIR 40.3 dB); 0.000 dB on
+#                    double-talk and path-change; 20.6 ms (1.58x)
+#   all-DEFAULT:     -1.4 dB worst case; 19.7 ms
+# The residual -0.16 dB lives in the constraint projection (HHD == HDD when
+# measured separately), which is also the FLOP-dominant matmul — so this is
+# the Pareto point. Precision.HIGH / HIGHEST stay available via precision=.
+_STAGE1_DEFAULT = (
+    jax.lax.Precision.HIGH,
+    jax.lax.Precision.DEFAULT,
+    jax.lax.Precision.DEFAULT,
+)
 
 
 @functools.lru_cache(maxsize=8)

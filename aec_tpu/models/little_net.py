@@ -98,10 +98,16 @@ def little_net_features(
     ref: jax.Array,
     erb: jax.Array,
     cfg: StftConfig,
+    precision=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Shared feature path: returns (gru_input [B,T,2E], mic_erb, mic_spec)."""
-    mic_spec = stft_mod.stft(mic, cfg)  # [B, T, 2K]
-    ref_spec = stft_mod.stft(ref, cfg)
+    """Shared feature path: returns (gru_input [B,T,2E], mic_erb, mic_spec).
+
+    ``precision`` controls the STFT DFT-basis matmuls (None = parity-grade
+    Precision.HIGHEST; see little_net_apply).
+    """
+    precision = precision or stft_mod._HIGHEST
+    mic_spec = stft_mod.stft(mic, cfg, precision=precision)  # [B, T, 2K]
+    ref_spec = stft_mod.stft(ref, cfg, precision=precision)
     mic_erb = stft_mod.magnitude(mic_spec) @ erb  # [B, T, E]
     ref_erb = stft_mod.magnitude(ref_spec) @ erb
     feats = jnp.concatenate([mic_erb, jnp.abs(mic_erb - ref_erb)], axis=-1)
@@ -117,6 +123,7 @@ def little_net_apply(
     *,
     normalize: bool = True,
     per_utt_norm: bool = False,
+    precision=None,
 ) -> dict[str, jax.Array]:
     """Forward pass: mic/ref wav [B, n] -> enhanced wav + intermediates.
 
@@ -124,11 +131,20 @@ def little_net_apply(
     ``normalize`` applies the reference's global pseudo-norm to mic/ref
     (the `near` branch of the norm lives in :func:`little_net_loss`);
     ``per_utt_norm`` switches the scalar to per-utterance (see _pseudo_norm).
+
+    ``precision`` sets the STFT/iSTFT DFT-basis matmul precision. ``None``
+    (default) is parity-grade ``Precision.HIGHEST``; pass
+    ``jax.lax.Precision.DEFAULT`` for single-pass bf16 MXU — measured on the
+    enhanced waveform to differ by <1e-3 relative (see
+    benchmarks/validate_precision.py), used by the throughput benchmarks.
     """
+    precision = precision or stft_mod._HIGHEST
     if normalize:
         mic = _pseudo_norm(mic, per_utt_norm)
         ref = _pseudo_norm(ref, per_utt_norm)
-    feats, mic_erb, mic_spec = little_net_features(mic, ref, erb, cfg)
+    feats, mic_erb, mic_spec = little_net_features(
+        mic, ref, erb, cfg, precision=precision
+    )
 
     out1, _ = gru_scan(params["gru"], feats)  # [B, T, E]
     hid = jnp.concatenate([out1, mic_erb], axis=-1)  # skip concat (ERB.py:295)
@@ -139,7 +155,7 @@ def little_net_apply(
     gain = est_erb @ erb.T  # un-normalized back-projection (ERB.py:306-307)
     re, im = split_complex(mic_spec)
     out_spec = jnp.concatenate([gain * re, gain * im], axis=-1)
-    wav = stft_mod.istft(out_spec, cfg) + 1e-9  # (ERB.py:314-316)
+    wav = stft_mod.istft(out_spec, cfg, precision=precision) + 1e-9  # (ERB.py:314-316)
     return {"wav": wav, "est_erb": est_erb, "mask": mask, "mic_spec": mic_spec}
 
 

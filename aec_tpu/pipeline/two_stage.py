@@ -23,7 +23,10 @@ from aec_tpu.models.little_net import LittleNetParams, little_net_apply
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stage1", "scfg", "lin_cfg", "normalize", "fast")
+    jax.jit,
+    static_argnames=(
+        "stage1", "scfg", "lin_cfg", "normalize", "fast", "stage2_precision"
+    ),
 )
 def two_stage_cancel(
     params: LittleNetParams,
@@ -36,6 +39,7 @@ def two_stage_cancel(
     scfg: StftConfig = StftConfig(),
     normalize: bool = False,
     fast: bool = False,
+    stage2_precision=jax.lax.Precision.DEFAULT,
 ) -> dict[str, jax.Array]:
     """far/mic wav [n] or [B, n] -> enhanced wav (same shape).
 
@@ -43,16 +47,25 @@ def two_stage_cancel(
     reference trains that way; for enhancement-only runs the default False
     keeps the pipeline causal-equivalent to the streaming runtime).
 
-    ``fast=True`` runs the stage-1 DFT matmuls at single-pass bf16 MXU
-    precision (the normal default is already Precision.HIGH, ERLE-identical
-    to fp32 — see overlap_save._STAGE1_DEFAULT). Measured worst-case cost of
-    fast mode is ~0.03 dB stage-1 ERLE (round-2 corrected methodology;
-    see linear/nlms.py docstring).
+    Precision policy (production defaults; benchmarks/validate_precision.py
+    has the v5e measurements):
+
+    - stage-1 runs the library default per-op MIXED precision (the
+      cancellation-critical y matmul at HIGH; -0.16 dB tail-ERLE worst case,
+      only on scenes already >40 dB ERLE — overlap_save._STAGE1_DEFAULT);
+    - stage-2 STFT/iSTFT run at ``stage2_precision`` = single-pass bf16 MXU
+      by default: the enhanced waveform differs from HIGHEST by -50.9 dB SNR
+      while the apply runs 2.0x faster (19.9 -> 9.85 ms at batch 256). Pass
+      ``stage2_precision=None`` for parity-grade HIGHEST.
+    - ``fast=True`` forces BOTH stages all-DEFAULT (stage-1 then loses up to
+      1.45 dB tail-ERLE on >40 dB-ERLE scenes; 0.00 dB on double-talk and
+      path-change).
 
     Returns dict with ``wav`` (final), ``linear_wav`` (stage-1 output), and
     the stage-2 ``mask``.
     """
     precision = jax.lax.Precision.DEFAULT if fast else None
+    p2 = jax.lax.Precision.DEFAULT if fast else stage2_precision
     if stage1 == "kalman":
         lin = kalman_cancel(
             lin_cfg or KalmanConfig(), far, mic, block=scfg.hop, precision=precision
@@ -69,7 +82,9 @@ def two_stage_cancel(
     batched = linear_wav.ndim == 2
     lw = linear_wav if batched else linear_wav[None]
     fw = far if batched else far[None]
-    out = little_net_apply(params, lw, fw, erb, scfg, normalize=normalize)
+    out = little_net_apply(
+        params, lw, fw, erb, scfg, normalize=normalize, precision=p2
+    )
     wav, mask = out["wav"], out["mask"]
     if not batched:
         wav, mask = wav[0], mask[0]

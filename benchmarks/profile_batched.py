@@ -73,6 +73,9 @@ def main():
     t_frames = N // scfg.hop + 1
 
     results = {}
+    import sys
+
+    only = sys.argv[1:]  # substring filters; empty = run everything
 
     def report(name, per_call, work_s=audio_s):
         results[name] = {
@@ -81,10 +84,15 @@ def main():
         }
         print(name, results[name], flush=True)
 
+    def maybe(name, thunk, work_s=audio_s):
+        if only and not any(f in name for f in only):
+            return
+        report(name, thunk(), work_s)
+
     # 1. stage-1 Kalman batched (vmapped scan)
-    report(
+    maybe(
         "kalman_batched",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(kalman_cancel(kcfg, x[0], x[1], block=scfg.hop)["wav"]),
             (2, BATCH, N),
             key,
@@ -92,9 +100,9 @@ def main():
     )
 
     # 2. stage-2 LittleNet full apply
-    report(
+    maybe(
         "little_net_apply",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(
                 little_net_apply(params, x[0], x[1], erb, scfg, normalize=False)["wav"]
             ),
@@ -104,9 +112,9 @@ def main():
     )
 
     # 3. STFT alone (x2 signals, as in apply)
-    report(
+    maybe(
         "stft_x2",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(stft_mod.magnitude(stft_mod.stft(x[0], scfg)))
             + jnp.sum(stft_mod.magnitude(stft_mod.stft(x[1], scfg))),
             (2, BATCH, N),
@@ -115,9 +123,9 @@ def main():
     )
 
     # 4. iSTFT alone
-    report(
+    maybe(
         "istft",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(stft_mod.istft(x, scfg)),
             (BATCH, t_frames, 2 * scfg.n_freqs),
             jax.random.fold_in(key, 3),
@@ -125,9 +133,9 @@ def main():
     )
 
     # 5. GRU scan alone on [B, T, 64]
-    report(
+    maybe(
         "gru_scan",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(gru_scan(params["gru"], x, fused=False)[0]),
             (BATCH, t_frames, 64),
             jax.random.fold_in(key, 4),
@@ -135,9 +143,9 @@ def main():
     )
 
     # 6. fused Pallas GRU kernel
-    report(
+    maybe(
         "gru_fused",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(gru_scan(params["gru"], x, fused=True)[0]),
             (BATCH, t_frames, 64),
             jax.random.fold_in(key, 5),
@@ -145,9 +153,9 @@ def main():
     )
 
     # 7. STFT x2 at Precision.HIGH (stage-1's production precision)
-    report(
+    maybe(
         "stft_x2_high",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(
                 stft_mod.magnitude(
                     stft_mod.stft(x[0], scfg, precision=jax.lax.Precision.HIGH)
@@ -164,9 +172,9 @@ def main():
     )
 
     # 8. Kalman batched at DEFAULT (single-pass bf16) stage-1 precision
-    report(
+    maybe(
         "kalman_batched_bf16",
-        slope_time(
+        lambda: slope_time(
             lambda x: jnp.sum(
                 kalman_cancel(
                     kcfg, x[0], x[1], block=scfg.hop,
@@ -182,9 +190,9 @@ def main():
     from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched
 
     for tile in (16, 32):
-        report(
+        maybe(
             f"kalman_fused_batched_t{tile}",
-            slope_time(
+            lambda tile=tile: slope_time(
                 lambda x, tile=tile: jnp.sum(
                     kalman_cancel_fused_batched(
                         kcfg, x[0], x[1], block=scfg.hop, tile=tile
@@ -194,6 +202,36 @@ def main():
                 jax.random.fold_in(key, 8 + tile),
             ),
         )
+
+    # 10. batched fused Kalman with bf16 MXU dot operands (f32 accum/state)
+    maybe(
+        "kalman_fused_batched_t32_bf16",
+        lambda: slope_time(
+            lambda x: jnp.sum(
+                kalman_cancel_fused_batched(
+                    kcfg, x[0], x[1], block=scfg.hop, tile=32,
+                    dot_dtype=jnp.bfloat16,
+                )["wav"]
+            ),
+            (2, BATCH, N),
+            jax.random.fold_in(key, 60),
+        ),
+    )
+
+    # 11. stage-2 apply with DEFAULT-precision STFT/iSTFT matmuls
+    maybe(
+        "little_net_apply_bf16_stft",
+        lambda: slope_time(
+            lambda x: jnp.sum(
+                little_net_apply(
+                    params, x[0], x[1], erb, scfg, normalize=False,
+                    precision=jax.lax.Precision.DEFAULT,
+                )["wav"]
+            ),
+            (2, BATCH, N),
+            jax.random.fold_in(key, 61),
+        ),
+    )
 
     print(json.dumps(results))
 
