@@ -379,17 +379,25 @@ def kalman_cancel_fused(
     *,
     block: int = 256,
     interpret: bool = False,
+    dot_mode: str = "mixed",
 ) -> dict[str, jax.Array]:
     """Waveform in/out single-stream canceller on the fused kernel.
 
     far/mic: [n]. Drop-in equivalent of linear.kalman.kalman_cancel for the
     unbatched case (batched workloads keep the scan + vmap path, which
-    already saturates the chip).
+    already saturates the chip). ``dot_mode`` defaults to "mixed" — the same
+    per-op precision policy as the library's scan default
+    (overlap_save._STAGE1_DEFAULT); same-process A/B on v5e (slope method,
+    16 s utterance): high 1.49 ms / mixed 1.23 ms / bf16 0.98 ms, with
+    quality -0.16 dB (mixed) vs -1.45 dB (bf16) worst-case tail-ERLE
+    (benchmarks/validate_precision.py).
     """
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
     x_ri = ols.far_end_spectra(farp[None], block)[0]
     d_blocks = micp.reshape(-1, block)
-    e = kalman_filter_fused(cfg, x_ri, d_blocks, block=block, interpret=interpret)
+    e = kalman_filter_fused(
+        cfg, x_ri, d_blocks, block=block, interpret=interpret, dot_mode=dot_mode
+    )
     return {"wav": e.reshape(-1)[:n]}

@@ -148,12 +148,19 @@ def nlms_cancel_fused(
     *,
     block: int = 256,
     interpret: bool = False,
+    dot_mode: str = "mixed",
 ) -> dict[str, jax.Array]:
-    """Waveform in/out single-stream NLMS on the fused kernel. far/mic: [n]."""
+    """Waveform in/out single-stream NLMS on the fused kernel. far/mic: [n].
+
+    ``dot_mode`` defaults to "mixed" — the library's production per-op
+    precision policy (see kalman_cancel_fused; same-process A/B on v5e:
+    high 1.34 ms / mixed 1.01 ms / bf16 0.96 ms per 16 s utterance)."""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
     x_ri = ols.far_end_spectra(farp[None], block)[0]
     d_blocks = micp.reshape(-1, block)
-    e = nlms_filter_fused(cfg, x_ri, d_blocks, block=block, interpret=interpret)
+    e = nlms_filter_fused(
+        cfg, x_ri, d_blocks, block=block, interpret=interpret, dot_mode=dot_mode
+    )
     return {"wav": e.reshape(-1)[:n]}

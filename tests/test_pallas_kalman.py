@@ -17,8 +17,14 @@ def test_fused_matches_scan(rng):
     rir = (np.exp(-np.arange(400) / 80.0) * rng.standard_normal(400)).astype(np.float32)
     mic = np.convolve(far, 0.4 * rir)[:n].astype(np.float32)
     want = np.asarray(kalman_cancel(cfg, jnp.asarray(far), jnp.asarray(mic))["wav"])
+    # dot_mode="high" is the exact-numerics tier; the production "mixed"
+    # default rounds the residual dots to bf16 (quality covered by
+    # test_fused_converges' ERLE bound, tier deltas by
+    # benchmarks/validate_precision.py).
     got = np.asarray(
-        kalman_cancel_fused(cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True)["wav"]
+        kalman_cancel_fused(
+            cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True, dot_mode="high"
+        )["wav"]
     )
     assert got.shape == want.shape
     scale = max(np.max(np.abs(want)), 1e-3)
@@ -68,7 +74,9 @@ def test_fused_nlms_matches_scan(rng):
         nlms_cancel(cfg, jnp.asarray(far), jnp.asarray(mic), fused=False)["wav"]
     )
     got = np.asarray(
-        nlms_cancel_fused(cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True)["wav"]
+        nlms_cancel_fused(
+            cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True, dot_mode="high"
+        )["wav"]
     )
     scale = max(float(np.abs(want).max()), 1e-9)
     np.testing.assert_allclose(got, want, atol=2e-4 * scale)
