@@ -44,6 +44,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -366,6 +367,233 @@ def kalman_cancel_fused_batched(
     x_ri = ols.far_end_spectra(farp, block)
     d_blocks = micp.reshape(micp.shape[0], -1, block)
     e = kalman_filter_fused_batched(
+        cfg, x_ri, d_blocks, block=block, interpret=interpret, tile=tile,
+        unroll=unroll, dot_mode=dot_mode,
+    )
+    return {"wav": e.reshape(e.shape[0], -1)[:, :n]}
+
+
+def _kernel_batched_bl(
+    cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str
+):
+    """Batch-in-LANES variant: utterances AND partitions ride the lane axis.
+
+    The first batched kernel (:func:`_kernel_batched`) keeps the batch tile
+    in sublanes and the K=257 bins in lanes, so every VPU op pads 257 -> 384
+    lanes (50% waste) and every ri array 514 -> 640 (25%). Here the layout
+    is flipped the TPU-first way: per-partition state is (K, L*tile) — bins
+    in sublanes (257 -> 264, ~3% pad), the L x tile grid of
+    (partition, utterance) columns exactly filling lanes (L*tile = 1280, a
+    multiple of 128). Real/imag live in SEPARATE arrays (no 2K concatenated
+    axis -> no misaligned sublane splits). Partition reductions/broadcasts
+    are 128-aligned lane-group slices/concats (whole-vreg adds/moves).
+
+    Each DFT transform is left-multiplication by its re/im block
+    decomposition, contracting over the bin (sublane) axis — the standard
+    MXU orientation with the constant on the left:
+
+        y_blk = IT_r @ y_r + IT_i @ y_i        (IT_* = inv_tail[half, :].T)
+        e_r = F_r @ e_blk,  e_i = F_i @ e_blk  (F_* = fwd[B:, half].T)
+
+    and the gradient constraint uses the FACTORED projection
+    ``C = inv[:, :B] @ fwd[:B, :]`` (rank B) instead of the collapsed
+    (2K, 2K) matrix:
+
+        t_blk = IH_r @ g_r + IH_i @ g_i        (IH_* = inv[half, :B].T)
+        upd_r = FB_r @ t_blk, upd_i = FB_i @ t_blk  (FB_* = fwd[:B, half].T)
+
+    — 4 WIDE (N = L*tile) matmuls per step instead of 4*L narrow ones (the
+    3D-state variant spent its time in 40 latency-bound (K,K)@(K,128) ops),
+    with an exactly-aligned B=256 contraction in the second pair. State
+    stays VMEM-resident across the whole time grid as in the other fused
+    kernels.
+    """
+    a, a2 = cfg.a, cfg.a * cfg.a
+    obs, floor = cfg.obs_smooth, cfg.psi_floor
+    dot_y = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
+    dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
+
+    def lsum(v):  # (K, L*tile) -> (K, tile): reduce over partition groups
+        out = v[:, :tile]
+        for li in range(1, l):
+            out = out + v[:, li * tile : (li + 1) * tile]
+        return out
+
+    def lbcast(v):  # (K, tile) -> (K, L*tile)
+        return jnp.concatenate([v] * l, axis=1)
+
+    def kernel(xr_ref, xi_ref, d_ref,
+               itr_hi, itr_lo, iti_hi, iti_lo,
+               fr_hi, fr_lo, fi_hi, fi_lo,
+               ihr_hi, ihr_lo, ihi_hi, ihi_lo,
+               fbr_hi, fbr_lo, fbi_hi, fbi_lo,
+               e_ref, wr, wi, p, xbr, xbi, psi):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            wr[:] = jnp.zeros_like(wr)
+            wi[:] = jnp.zeros_like(wi)
+            p[:] = jnp.full_like(p, cfg.init_p)
+            xbr[:] = jnp.zeros_like(xbr)
+            xbi[:] = jnp.zeros_like(xbi)
+            psi[:] = jnp.full_like(psi, floor)
+
+        for u in range(unroll):
+            # ring push: newest spectra enter lane group 0, rest shift right
+            xr = jnp.concatenate([xr_ref[0, 0, u], xbr[:, :-tile]], axis=1)
+            xi = jnp.concatenate([xi_ref[0, 0, u], xbi[:, :-tile]], axis=1)
+            xbr[:] = xr
+            xbi[:] = xi
+
+            # predict
+            wr_p, wi_p = a * wr[:], a * wi[:]
+            p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+
+            # prior residual: y = sum_l W X (complex), time block via MXU
+            yr = lsum(wr_p * xr - wi_p * xi)  # (K, tile)
+            yi = lsum(wr_p * xi + wi_p * xr)
+            y_blk = dot_y(itr_hi, itr_lo, yr) + dot_y(iti_hi, iti_lo, yi)
+            e_blk = d_ref[0, 0, u] - y_blk  # (block, tile)
+            e_ref[0, 0, u] = e_blk
+            er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
+            ei = dot_r(fi_hi, fi_lo, e_blk)
+
+            psi_new = jnp.maximum(
+                obs * psi[:] + (1.0 - obs) * (er * er + ei * ei), floor
+            )
+            psi[:] = psi_new
+
+            # gain + constrained update (factored projection, wide matmuls)
+            x2 = xr * xr + xi * xi  # (K, L*tile)
+            den = lsum(x2 * p_pred) + 2.0 * psi_new  # (K, tile)
+            er_d, ei_d = lbcast(er / den), lbcast(ei / den)
+            gr = p_pred * (xr * er_d + xi * ei_d)  # (K, L*tile)
+            gi = p_pred * (xr * ei_d - xi * er_d)
+            t_blk = dot_r(ihr_hi, ihr_lo, gr) + dot_r(ihi_hi, ihi_lo, gi)
+            wr[:] = wr_p + dot_r(fbr_hi, fbr_lo, t_blk)
+            wi[:] = wi_p + dot_r(fbi_hi, fbi_lo, t_blk)
+            p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "block", "interpret", "unroll", "tile", "dot_mode"),
+)
+def kalman_filter_fused_batched_bl(
+    cfg: KalmanConfig,
+    x_ri: jax.Array,  # (BATCH, T, 2K) far-frame spectra, [re || im]
+    d_blocks: jax.Array,  # (BATCH, T, B) mic blocks
+    *,
+    block: int = 256,
+    interpret: bool = False,
+    unroll: int = 2,
+    tile: int = 128,
+    dot_mode: str = "mixed",
+) -> jax.Array:
+    """Batch-in-lanes fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
+
+    See :func:`_kernel_batched_bl`. Inputs/outputs are transposed so the
+    batch tile rides the lane axis inside the kernel (one relayout each way,
+    amortized over the whole utterance). Returns e blocks (BATCH, T, B).
+    """
+    batch, t_steps, two_k = x_ri.shape
+    k = two_k // 2
+    fwd, inv_tail, constrain = ols._dft_mats(block)
+    l = cfg.n_blocks
+
+    tile = min(tile, batch)
+    b_pad = (-batch) % tile
+    t_pad = (-t_steps) % unroll
+    if b_pad or t_pad:
+        x_ri = jnp.pad(x_ri, [(0, b_pad), (0, t_pad), (0, 0)])
+        d_blocks = jnp.pad(d_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
+    bt = (batch + b_pad) // tile
+    t_total = t_steps + t_pad
+
+    def tm(a, w):  # (B, T, w) -> (bt, T/unroll, unroll, w, tile)
+        a = a.astype(jnp.float32).reshape(bt, tile, t_total, w)
+        a = jnp.transpose(a, (0, 2, 3, 1))  # (bt, T, w, tile)
+        return a.reshape(bt, t_total // unroll, unroll, w, tile)
+
+    step = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, unroll, w, tile), lambda b, t: (b, t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    # the inverse-DFT HEAD columns (first B time samples) for the factored
+    # constraint; _dft_mats only exports the tail half
+    n2 = 2 * block
+    inv_full = np.concatenate(
+        [np.fft.irfft(np.eye(k), n=n2), np.fft.irfft(1j * np.eye(k), n=n2)],
+        axis=0,
+    ).astype(np.float32)  # (2K, N)
+    fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
+    consts = [
+        inv_tail[:k, :].T,  # IT_r (block, K)
+        inv_tail[k:, :].T,  # IT_i
+        fwd_tail[:, :k].T,  # F_r (K, block)
+        fwd_tail[:, k:].T,  # F_i
+        inv_full[:k, :block].T,  # IH_r (block, K)
+        inv_full[k:, :block].T,  # IH_i
+        fwd_head[:, :k].T,  # FB_r (K, block)
+        fwd_head[:, k:].T,  # FB_i
+    ]
+    const_ops = [m for c in consts for m in prec.split_hi_lo(c)]
+
+    out = pl.pallas_call(
+        _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
+        grid=(bt, t_total // unroll),
+        in_specs=[step(k), step(k), step(block)]
+        + [whole(*c.shape) for c in consts for _ in (0, 1)],
+        out_specs=step(block),
+        out_shape=jax.ShapeDtypeStruct(
+            (bt, t_total // unroll, unroll, block, tile), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, l * tile), jnp.float32),  # wr
+            pltpu.VMEM((k, l * tile), jnp.float32),  # wi
+            pltpu.VMEM((k, l * tile), jnp.float32),  # p
+            pltpu.VMEM((k, l * tile), jnp.float32),  # xbr
+            pltpu.VMEM((k, l * tile), jnp.float32),  # xbi
+            pltpu.VMEM((k, tile), jnp.float32),  # psi
+        ],
+        interpret=interpret,
+    )(
+        tm(x_ri[..., :k], k),
+        tm(x_ri[..., k:], k),
+        tm(d_blocks, block),
+        *const_ops,
+    )
+    # (bt, T/unroll, unroll, block, tile) -> (BATCH, T, B)
+    out = out.reshape(bt, t_total, block, tile)
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(bt * tile, t_total, block)
+    return out[:batch, :t_steps]
+
+
+def kalman_cancel_fused_batched_bl(
+    cfg: KalmanConfig,
+    far: jax.Array,  # [BATCH, n]
+    mic: jax.Array,
+    *,
+    block: int = 256,
+    interpret: bool = False,
+    tile: int = 128,
+    unroll: int = 2,
+    dot_mode: str = "mixed",
+) -> dict[str, jax.Array]:
+    """Waveform in/out batched canceller on the batch-in-lanes kernel."""
+    n = mic.shape[-1]
+    farp = ols.pad_to_blocks(far, block)
+    micp = ols.pad_to_blocks(mic, block)
+    x_ri = ols.far_end_spectra(farp, block)
+    d_blocks = micp.reshape(micp.shape[0], -1, block)
+    e = kalman_filter_fused_batched_bl(
         cfg, x_ri, d_blocks, block=block, interpret=interpret, tile=tile,
         unroll=unroll, dot_mode=dot_mode,
     )

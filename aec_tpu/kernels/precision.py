@@ -47,3 +47,25 @@ def dot_fast(x, m_hi_ref, _m_lo_ref=None):
     return jnp.dot(
         x.astype(jnp.bfloat16), m_hi_ref[:], preferred_element_type=jnp.float32
     )
+
+
+def dot_high_lhs(m_hi_ref, m_lo_ref, x):
+    """bf16_3x product ``m @ x`` with the constant matrix on the LEFT.
+
+    Mirror of :func:`dot_high` for batch-in-lanes kernels, where the dynamic
+    operand keeps the batch axis in lanes and the transform contracts over
+    its sublane (bin) axis."""
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(m_hi_ref[:], x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(m_lo_ref[:], x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(m_hi_ref[:], x_lo, preferred_element_type=jnp.float32)
+    )
+
+
+def dot_fast_lhs(m_hi_ref, _m_lo_ref, x):
+    """Single-pass bf16 ``m @ x`` (constant on the left)."""
+    return jnp.dot(
+        m_hi_ref[:], x.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )

@@ -123,3 +123,42 @@ def test_kalman_fused_batched_matches_scan(rng):
     )
     scale = max(float(np.abs(want).max()), 1e-9)
     np.testing.assert_allclose(got, want, atol=2e-4 * scale)
+
+
+def test_kalman_fused_batched_bl_matches_scan(rng):
+    """Batch-in-lanes batched kernel == scan (interpret mode, dot_mode=high)."""
+    from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
+
+    cfg = KalmanConfig()
+    b, n = 5, 16 * 256  # odd batch: exercises tile padding; tile=2 > 1 grid row
+    far = rng.standard_normal((b, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(300) / 60.0) * rng.standard_normal(300)).astype(
+        np.float32
+    )
+    mic = np.stack(
+        [np.convolve(far[i], 0.4 * rir)[:n] for i in range(b)]
+    ).astype(np.float32)
+    want = np.asarray(
+        kalman_cancel(cfg, jnp.asarray(far), jnp.asarray(mic), fused=False)["wav"]
+    )
+    got = np.asarray(
+        kalman_cancel_fused_batched_bl(
+            cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True, tile=2,
+            dot_mode="high",
+        )["wav"]
+    )
+    scale = max(float(np.abs(want).max()), 1e-9)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale)
+    # the production mixed default still cancels echo
+    from aec_tpu.train.metrics import erle
+
+    got_m = np.asarray(
+        kalman_cancel_fused_batched_bl(
+            cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True, tile=2
+        )["wav"]
+    )
+    tail = slice(3 * n // 4, None)
+    for i in range(b):
+        e_m = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(got_m[i, tail])))
+        e_w = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(want[i, tail])))
+        assert abs(e_m - e_w) < 0.5, (i, e_m, e_w)
