@@ -23,19 +23,32 @@ numbers were dominated by this image's ~25 ms per-dispatch tunnel round trip
 — see CLAUDE.md "Performance log". `linear.kalman.kalman_cancel` auto-routes
 single-stream TPU calls here; the vmapped scan remains the batched path.
 
-BATCHED KERNEL FINDING (v5e, round 2): `kalman_filter_fused_batched` keeps a
-whole batch tile's state VMEM-resident, but at throughput batch sizes the
-XLA scan WINS at every equal quality tier (batch 256 x 512 blocks, slope
-method): scan 32.5 / 20.6 / 19.7 ms at HIGH / mixed / DEFAULT precision vs
-kernel 36.2 / 24.9 / 23.6 ms at high / mixed / bf16 dot_mode — the kernel
-pays VPU lane-padding (K=257 -> 384 lanes) and relayout costs that XLA's
-big-batch elementwise fusion avoids, and it is NOT matmul-bound (bf16 vs
-f32 dot operands measure identical). The batched kernel therefore serves
-the LOW-LATENCY small-batch regime; `kalman_cancel` keeps the scan for
-batched inputs. Quality per dot_mode is measured in
-benchmarks/validate_precision.py: "high" == Precision.HIGH == fp32 ERLE;
-"mixed" == -0.16 dB worst case; "bf16" == -1.45 dB worst case (both only
-on >40 dB-ERLE scenes).
+BATCHED KERNEL FINDINGS (v5e, round 2, batch 256 x 512 blocks, slope
+method, all same-process A/Bs):
+
+- `kalman_filter_fused_batched` (batch tile in SUBLANES, K=257 bins in
+  lanes) loses to the XLA scan at every equal quality tier (kernel 24.9-28.3
+  ms vs scan 20.6-21.1 ms at mixed): it pays 50% VPU lane padding
+  (257 -> 384) on every K-shaped op and 25% (514 -> 640) on every ri op,
+  and is NOT matmul-bound (bf16 vs f32 dot operands measure identical).
+- `kalman_filter_fused_batched_bl` (batch AND partitions in LANES, bins in
+  sublanes, factored constraint — see its docstring) removes the padding
+  and reaches PARITY with the scan: 21.2 ms vs 21.1 ms at mixed,
+  ERLE-identical on chip. An intermediate 3D-state variant with
+  per-partition (K, tile) matmuls measured 22.6 ms — the 4*L narrow
+  (K,K)@(K,128) ops per step are latency-bound; batching them into 4 wide
+  N=L*tile matmuls recovered the difference.
+- Component slopes: the shared far-end analysis STFT was 9.2 ms of the
+  21 ms path at HIGHEST before its default moved to HIGH
+  (overlap_save._SPECTRA_DEFAULT); the scan's remaining ~12 ms is
+  elementwise/carry-bound, which is also the kernel's floor — XLA's
+  big-batch fusion is already near the VPU/HBM roofline here, so the
+  batched kernels stay documented alternatives and `kalman_cancel` keeps
+  the scan for batched inputs.
+
+Quality per dot_mode is measured in benchmarks/validate_precision.py:
+"high" == Precision.HIGH == fp32 ERLE; "mixed" == -0.16 dB worst case;
+"bf16" == -1.45 dB worst case (both only on >40 dB-ERLE scenes).
 """
 
 from __future__ import annotations
