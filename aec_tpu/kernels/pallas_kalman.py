@@ -425,6 +425,9 @@ def _kernel_batched_bl(
     obs, floor = cfg.obs_smooth, cfg.psi_floor
     dot_y = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
     dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
+    # far-frame analysis STFT (in-kernel): 3-pass == the library's
+    # _SPECTRA_DEFAULT (Precision.HIGH), single-pass only in "bf16" mode
+    dot_x = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
 
     def lsum(v):  # (K, L*tile) -> (K, tile): reduce over partition groups
         out = v[:, :tile]
@@ -435,12 +438,13 @@ def _kernel_batched_bl(
     def lbcast(v):  # (K, tile) -> (K, L*tile)
         return jnp.concatenate([v] * l, axis=1)
 
-    def kernel(xr_ref, xi_ref, d_ref,
+    def kernel(far_ref, d_ref,
+               fwr_hi, fwr_lo, fwi_hi, fwi_lo,
                itr_hi, itr_lo, iti_hi, iti_lo,
                fr_hi, fr_lo, fi_hi, fi_lo,
                ihr_hi, ihr_lo, ihi_hi, ihi_lo,
                fbr_hi, fbr_lo, fbi_hi, fbi_lo,
-               e_ref, wr, wi, p, xbr, xbi, psi):
+               e_ref, wr, wi, p, xbr, xbi, psi, fprev):
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -451,11 +455,23 @@ def _kernel_batched_bl(
             xbr[:] = jnp.zeros_like(xbr)
             xbi[:] = jnp.zeros_like(xbi)
             psi[:] = jnp.full_like(psi, floor)
+            fprev[:] = jnp.zeros_like(fprev)  # leading zero block, as in
+            # overlap_save.far_end_spectra's causal alignment pad
 
         for u in range(unroll):
+            # in-kernel analysis STFT of the far frame [(t-1)B, (t+1)B):
+            # the previous block lives in VMEM; two (K, 2B) @ (2B, tile)
+            # MXU matmuls replace the whole XLA spectra pass (which
+            # materialized a 2x overlapped frames tensor in HBM)
+            cur = far_ref[0, 0, u]  # (block, tile)
+            frame = jnp.concatenate([fprev[:], cur], axis=0)  # (2B, tile)
+            fprev[:] = cur
+            xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
+            xi_t = dot_x(fwi_hi, fwi_lo, frame)
+
             # ring push: newest spectra enter lane group 0, rest shift right
-            xr = jnp.concatenate([xr_ref[0, 0, u], xbr[:, :-tile]], axis=1)
-            xi = jnp.concatenate([xi_ref[0, 0, u], xbi[:, :-tile]], axis=1)
+            xr = jnp.concatenate([xr_t, xbr[:, :-tile]], axis=1)
+            xi = jnp.concatenate([xi_t, xbi[:, :-tile]], axis=1)
             xbr[:] = xr
             xbi[:] = xi
 
@@ -497,7 +513,7 @@ def _kernel_batched_bl(
 )
 def kalman_filter_fused_batched_bl(
     cfg: KalmanConfig,
-    x_ri: jax.Array,  # (BATCH, T, 2K) far-frame spectra, [re || im]
+    far_blocks: jax.Array,  # (BATCH, T, B) far-end time blocks
     d_blocks: jax.Array,  # (BATCH, T, B) mic blocks
     *,
     block: int = 256,
@@ -508,12 +524,15 @@ def kalman_filter_fused_batched_bl(
 ) -> jax.Array:
     """Batch-in-lanes fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
 
-    See :func:`_kernel_batched_bl`. Inputs/outputs are transposed so the
-    batch tile rides the lane axis inside the kernel (one relayout each way,
-    amortized over the whole utterance). Returns e blocks (BATCH, T, B).
+    See :func:`_kernel_batched_bl`. Consumes RAW far/mic time blocks — the
+    far-frame analysis STFT happens inside the kernel (a one-block VMEM ring
+    + two MXU matmuls per step), so no spectra tensor ever exists in HBM.
+    Inputs/outputs are transposed so the batch tile rides the lane axis
+    inside the kernel (one relayout each way, amortized over the whole
+    utterance). Returns e blocks (BATCH, T, B).
     """
-    batch, t_steps, two_k = x_ri.shape
-    k = two_k // 2
+    batch, t_steps, _ = far_blocks.shape
+    k = block + 1
     fwd, inv_tail, constrain = ols._dft_mats(block)
     l = cfg.n_blocks
 
@@ -521,7 +540,7 @@ def kalman_filter_fused_batched_bl(
     b_pad = (-batch) % tile
     t_pad = (-t_steps) % unroll
     if b_pad or t_pad:
-        x_ri = jnp.pad(x_ri, [(0, b_pad), (0, t_pad), (0, 0)])
+        far_blocks = jnp.pad(far_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
         d_blocks = jnp.pad(d_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
     bt = (batch + b_pad) // tile
     t_total = t_steps + t_pad
@@ -548,6 +567,8 @@ def kalman_filter_fused_batched_bl(
     ).astype(np.float32)  # (2K, N)
     fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
     consts = [
+        fwd[:, :k].T,  # FW_r (K, N): in-kernel far-frame analysis
+        fwd[:, k:].T,  # FW_i
         inv_tail[:k, :].T,  # IT_r (block, K)
         inv_tail[k:, :].T,  # IT_i
         fwd_tail[:, :k].T,  # F_r (K, block)
@@ -562,7 +583,7 @@ def kalman_filter_fused_batched_bl(
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
         grid=(bt, t_total // unroll),
-        in_specs=[step(k), step(k), step(block)]
+        in_specs=[step(block), step(block)]
         + [whole(*c.shape) for c in consts for _ in (0, 1)],
         out_specs=step(block),
         out_shape=jax.ShapeDtypeStruct(
@@ -575,11 +596,11 @@ def kalman_filter_fused_batched_bl(
             pltpu.VMEM((k, l * tile), jnp.float32),  # xbr
             pltpu.VMEM((k, l * tile), jnp.float32),  # xbi
             pltpu.VMEM((k, tile), jnp.float32),  # psi
+            pltpu.VMEM((block, tile), jnp.float32),  # fprev (far ring)
         ],
         interpret=interpret,
     )(
-        tm(x_ri[..., :k], k),
-        tm(x_ri[..., k:], k),
+        tm(far_blocks, block),
         tm(d_blocks, block),
         *const_ops,
     )
@@ -600,14 +621,17 @@ def kalman_cancel_fused_batched_bl(
     unroll: int = 2,
     dot_mode: str = "mixed",
 ) -> dict[str, jax.Array]:
-    """Waveform in/out batched canceller on the batch-in-lanes kernel."""
+    """Waveform in/out batched canceller on the batch-in-lanes kernel.
+
+    Fully fused stage-1: the far-frame analysis STFT runs inside the kernel,
+    so the only HBM tensors are the wavs in and the cancelled blocks out."""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
-    x_ri = ols.far_end_spectra(farp, block)
+    far_blocks = farp.reshape(farp.shape[0], -1, block)
     d_blocks = micp.reshape(micp.shape[0], -1, block)
     e = kalman_filter_fused_batched_bl(
-        cfg, x_ri, d_blocks, block=block, interpret=interpret, tile=tile,
+        cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
         unroll=unroll, dot_mode=dot_mode,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}

@@ -163,24 +163,27 @@ def kalman_cancel(
     filter state resident in VMEM (kernels/pallas_kalman.py) — measured
     8.5x faster for the single-stream case (0.95 ms vs 8.1 ms per 16 s
     utterance on v5e; round-1's opposite conclusion was an artifact of the
-    ~25 ms tunnel dispatch floor, see CLAUDE.md). ``None`` = auto: fused for
-    single-stream ([n]) inputs on the TPU backend at default
-    constrain/precision. The fused path returns ``state=None`` (large-batch
-    workloads keep the vmapped scan, which saturates the MXU on its own).
+    ~25 ms tunnel dispatch floor, see CLAUDE.md) and 1.4-1.7x faster for
+    batched inputs via the batch-in-lanes kernel with the far-frame STFT
+    fused in-kernel (scan 20.2 ms -> kernel 14.2 ms for 256 x 8.2 s; also
+    wins at batch 16 and 64; ERLE within 0.04 dB of the scan on chip).
+    ``None`` = auto: fused on the TPU backend at default constrain/precision
+    for any input shape. The fused paths return ``state=None`` (resumable
+    streaming keeps the scan via kalman_filter/kalman_step).
     """
     if fused is None:
         fused = (
-            far.ndim == 1
-            and constrain
-            and precision is None
-            and jax.default_backend() == "tpu"
+            constrain and precision is None and jax.default_backend() == "tpu"
         )
     if fused:
-        if far.ndim != 1:
-            raise ValueError("fused kalman path is single-stream; pass [n] wavs")
-        from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused
+        if far.ndim == 1:
+            from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused
 
-        out = kalman_cancel_fused(cfg, far, mic, block=block)
+            out = kalman_cancel_fused(cfg, far, mic, block=block)
+        else:
+            from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
+
+            out = kalman_cancel_fused_batched_bl(cfg, far, mic, block=block)
         return {"wav": out["wav"], "state": None}
     batched = far.ndim == 2
     if not batched:

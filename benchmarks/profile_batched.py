@@ -210,7 +210,7 @@ def main():
             lambda x: jnp.sum(
                 kalman_cancel_fused_batched(
                     kcfg, x[0], x[1], block=scfg.hop, tile=32,
-                    dot_dtype=jnp.bfloat16,
+                    dot_mode="bf16",
                 )["wav"]
             ),
             (2, BATCH, N),
