@@ -518,7 +518,7 @@ def kalman_filter_fused_batched_bl(
     *,
     block: int = 256,
     interpret: bool = False,
-    unroll: int = 2,
+    unroll: int | None = None,
     tile: int = 128,
     dot_mode: str = "mixed",
 ) -> jax.Array:
@@ -535,6 +535,11 @@ def kalman_filter_fused_batched_bl(
     k = block + 1
     fwd, inv_tail, constrain = ols._dft_mats(block)
     l = cfg.n_blocks
+    if unroll is None:
+        # "high" runs every matmul 3-pass, whose operand splits push scoped
+        # VMEM past the 16 MB limit at unroll=2 (measured: 16.4 MB); the
+        # smaller streamed buffers at unroll=1 fit.
+        unroll = 1 if dot_mode == "high" else 2
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
@@ -618,7 +623,7 @@ def kalman_cancel_fused_batched_bl(
     block: int = 256,
     interpret: bool = False,
     tile: int = 128,
-    unroll: int = 2,
+    unroll: int | None = None,
     dot_mode: str = "mixed",
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched canceller on the batch-in-lanes kernel.

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -164,3 +165,205 @@ def nlms_cancel_fused(
         cfg, x_ri, d_blocks, block=block, interpret=interpret, dot_mode=dot_mode
     )
     return {"wav": e.reshape(-1)[:n]}
+
+
+def _kernel_batched_bl(
+    cfg: NlmsConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str
+):
+    """Batch-in-lanes batched NLMS with the far-frame STFT fused in-kernel.
+
+    Identical layout strategy to pallas_kalman._kernel_batched_bl (see its
+    docstring for the design rationale): per-partition state is (K, L*tile)
+    — bins in sublanes, (partition x utterance) columns exactly filling
+    lanes — re/im as separate arrays, transforms as wide left-matmuls with
+    the constraint factored through its rank-B form, and the far-frame
+    analysis computed in-kernel from a one-block VMEM ring.
+    """
+    ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
+    dot_y = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
+    dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
+    dot_x = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
+
+    def lsum(v):  # (K, L*tile) -> (K, tile)
+        out = v[:, :tile]
+        for li in range(1, l):
+            out = out + v[:, li * tile : (li + 1) * tile]
+        return out
+
+    def lbcast(v):  # (K, tile) -> (K, L*tile)
+        return jnp.concatenate([v] * l, axis=1)
+
+    def kernel(far_ref, d_ref,
+               fwr_hi, fwr_lo, fwi_hi, fwi_lo,
+               itr_hi, itr_lo, iti_hi, iti_lo,
+               fr_hi, fr_lo, fi_hi, fi_lo,
+               ihr_hi, ihr_lo, ihi_hi, ihi_lo,
+               fbr_hi, fbr_lo, fbi_hi, fbi_lo,
+               e_ref, wr, wi, xbr, xbi, power, fprev):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            wr[:] = jnp.zeros_like(wr)
+            wi[:] = jnp.zeros_like(wi)
+            xbr[:] = jnp.zeros_like(xbr)
+            xbi[:] = jnp.zeros_like(xbi)
+            power[:] = jnp.zeros_like(power)
+            fprev[:] = jnp.zeros_like(fprev)
+
+        for u in range(unroll):
+            # in-kernel far-frame analysis STFT (see kalman kernel)
+            cur = far_ref[0, 0, u]  # (block, tile)
+            frame = jnp.concatenate([fprev[:], cur], axis=0)
+            fprev[:] = cur
+            xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
+            xi_t = dot_x(fwi_hi, fwi_lo, frame)
+            xr = jnp.concatenate([xr_t, xbr[:, :-tile]], axis=1)
+            xi = jnp.concatenate([xi_t, xbi[:, :-tile]], axis=1)
+            xbr[:] = xr
+            xbi[:] = xi
+
+            # smoothed total far-end power (nlms.py:66-67)
+            inst = lsum(xr * xr + xi * xi)  # (K, tile)
+            p_new = ps * power[:] + (1.0 - ps) * inst
+            power[:] = p_new
+
+            # prior output y = sum_l W X; time block via MXU
+            yr = lsum(wr[:] * xr - wi[:] * xi)  # (K, tile)
+            yi = lsum(wr[:] * xi + wi[:] * xr)
+            y_blk = dot_y(itr_hi, itr_lo, yr) + dot_y(iti_hi, iti_lo, yi)
+            e_blk = d_ref[0, 0, u] - y_blk  # (block, tile)
+            e_ref[0, 0, u] = e_blk
+            er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
+            ei = dot_r(fi_hi, fi_lo, e_blk)
+
+            # conj(X) E / power, constrained (factored), step size mu
+            inv_p = 1.0 / (p_new + eps)
+            er_p, ei_p = lbcast(er * inv_p), lbcast(ei * inv_p)
+            gr = xr * er_p + xi * ei_p  # (K, L*tile)
+            gi = xr * ei_p - xi * er_p
+            t_blk = dot_r(ihr_hi, ihr_lo, gr) + dot_r(ihi_hi, ihi_lo, gi)
+            wr[:] = wr[:] + mu * dot_r(fbr_hi, fbr_lo, t_blk)
+            wi[:] = wi[:] + mu * dot_r(fbi_hi, fbi_lo, t_blk)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "block", "interpret", "unroll", "tile", "dot_mode"),
+)
+def nlms_filter_fused_batched_bl(
+    cfg: NlmsConfig,
+    far_blocks: jax.Array,  # (BATCH, T, B) far-end time blocks
+    d_blocks: jax.Array,  # (BATCH, T, B) mic blocks
+    *,
+    block: int = 256,
+    interpret: bool = False,
+    unroll: int | None = None,
+    tile: int = 128,
+    dot_mode: str = "mixed",
+) -> jax.Array:
+    """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, T/unroll)."""
+    batch, t_steps, _ = far_blocks.shape
+    k = block + 1
+    fwd, inv_tail, _ = ols._dft_mats(block)
+    l = cfg.n_blocks
+    if unroll is None:
+        # "high" runs every matmul 3-pass, whose operand splits push scoped
+        # VMEM past the 16 MB limit at unroll=2 (measured: 16.4 MB); the
+        # smaller streamed buffers at unroll=1 fit.
+        unroll = 1 if dot_mode == "high" else 2
+
+    tile = min(tile, batch)
+    b_pad = (-batch) % tile
+    t_pad = (-t_steps) % unroll
+    if b_pad or t_pad:
+        far_blocks = jnp.pad(far_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
+        d_blocks = jnp.pad(d_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
+    bt = (batch + b_pad) // tile
+    t_total = t_steps + t_pad
+
+    def tm(a, w):  # (B, T, w) -> (bt, T/unroll, unroll, w, tile)
+        a = a.astype(jnp.float32).reshape(bt, tile, t_total, w)
+        a = jnp.transpose(a, (0, 2, 3, 1))
+        return a.reshape(bt, t_total // unroll, unroll, w, tile)
+
+    step = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, unroll, w, tile), lambda b, t: (b, t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    n2 = 2 * block
+    inv_full = np.concatenate(
+        [np.fft.irfft(np.eye(k), n=n2), np.fft.irfft(1j * np.eye(k), n=n2)],
+        axis=0,
+    ).astype(np.float32)
+    fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
+    consts = [
+        fwd[:, :k].T,  # FW_r (K, N)
+        fwd[:, k:].T,  # FW_i
+        inv_tail[:k, :].T,  # IT_r (block, K)
+        inv_tail[k:, :].T,  # IT_i
+        fwd_tail[:, :k].T,  # F_r (K, block)
+        fwd_tail[:, k:].T,  # F_i
+        inv_full[:k, :block].T,  # IH_r (block, K)
+        inv_full[k:, :block].T,  # IH_i
+        fwd_head[:, :k].T,  # FB_r (K, block)
+        fwd_head[:, k:].T,  # FB_i
+    ]
+    const_ops = [m for c in consts for m in prec.split_hi_lo(c)]
+
+    out = pl.pallas_call(
+        _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
+        grid=(bt, t_total // unroll),
+        in_specs=[step(block), step(block)]
+        + [whole(*c.shape) for c in consts for _ in (0, 1)],
+        out_specs=step(block),
+        out_shape=jax.ShapeDtypeStruct(
+            (bt, t_total // unroll, unroll, block, tile), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, l * tile), jnp.float32),  # wr
+            pltpu.VMEM((k, l * tile), jnp.float32),  # wi
+            pltpu.VMEM((k, l * tile), jnp.float32),  # xbr
+            pltpu.VMEM((k, l * tile), jnp.float32),  # xbi
+            pltpu.VMEM((k, tile), jnp.float32),  # smoothed power
+            pltpu.VMEM((block, tile), jnp.float32),  # fprev (far ring)
+        ],
+        interpret=interpret,
+    )(
+        tm(far_blocks, block),
+        tm(d_blocks, block),
+        *const_ops,
+    )
+    out = out.reshape(bt, t_total, block, tile)
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(bt * tile, t_total, block)
+    return out[:batch, :t_steps]
+
+
+def nlms_cancel_fused_batched_bl(
+    cfg: NlmsConfig,
+    far: jax.Array,  # [BATCH, n]
+    mic: jax.Array,
+    *,
+    block: int = 256,
+    interpret: bool = False,
+    tile: int = 128,
+    unroll: int | None = None,
+    dot_mode: str = "mixed",
+) -> dict[str, jax.Array]:
+    """Waveform in/out batched NLMS on the batch-in-lanes fused kernel."""
+    n = mic.shape[-1]
+    farp = ols.pad_to_blocks(far, block)
+    micp = ols.pad_to_blocks(mic, block)
+    far_blocks = farp.reshape(farp.shape[0], -1, block)
+    d_blocks = micp.reshape(micp.shape[0], -1, block)
+    e = nlms_filter_fused_batched_bl(
+        cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
+        unroll=unroll, dot_mode=dot_mode,
+    )
+    return {"wav": e.reshape(e.shape[0], -1)[:, :n]}

@@ -136,22 +136,24 @@ def nlms_cancel(
 
     ``fused``: whole recursion as one Pallas TPU kernel, VMEM-resident state
     (kernels/pallas_nlms.py; same design that made the Kalman single-stream
-    path 8.5x faster). None = auto: single-stream [n] inputs on the TPU
-    backend at default constrain/precision. Fused returns ``state=None``.
+    path 8.5x faster and its batched path 1.4x — batch-in-lanes with the
+    far-frame STFT fused in-kernel). None = auto: fused on the TPU backend
+    at default constrain/precision for any shape. Fused returns
+    ``state=None`` (resumable streaming keeps the scan via nlms_filter).
     """
     if fused is None:
         fused = (
-            far.ndim == 1
-            and constrain
-            and precision is None
-            and jax.default_backend() == "tpu"
+            constrain and precision is None and jax.default_backend() == "tpu"
         )
     if fused:
-        if far.ndim != 1:
-            raise ValueError("fused nlms path is single-stream; pass [n] wavs")
-        from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused
+        if far.ndim == 1:
+            from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused
 
-        out = nlms_cancel_fused(cfg, far, mic, block=block)
+            out = nlms_cancel_fused(cfg, far, mic, block=block)
+        else:
+            from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused_batched_bl
+
+            out = nlms_cancel_fused_batched_bl(cfg, far, mic, block=block)
         return {"wav": out["wav"], "state": None}
     batched = far.ndim == 2
     if not batched:

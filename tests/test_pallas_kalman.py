@@ -162,3 +162,42 @@ def test_kalman_fused_batched_bl_matches_scan(rng):
         e_m = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(got_m[i, tail])))
         e_w = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(want[i, tail])))
         assert abs(e_m - e_w) < 0.5, (i, e_m, e_w)
+
+
+def test_nlms_fused_batched_bl_matches_scan(rng):
+    """Batch-in-lanes batched NLMS kernel == scan (interpret, dot_mode=high)."""
+    from aec_tpu.configs import NlmsConfig
+    from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused_batched_bl
+    from aec_tpu.linear.nlms import nlms_cancel
+
+    cfg = NlmsConfig()
+    b, n = 5, 32 * 256
+    far = rng.standard_normal((b, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(300) / 60.0) * rng.standard_normal(300)).astype(
+        np.float32
+    )
+    rir = 0.5 * rir / np.abs(rir).max()
+    mic = np.stack(
+        [np.convolve(far[i], rir)[:n] for i in range(b)]
+    ).astype(np.float32)
+    want = np.asarray(
+        nlms_cancel(cfg, jnp.asarray(far), jnp.asarray(mic), fused=False)["wav"]
+    )
+    got = np.asarray(
+        nlms_cancel_fused_batched_bl(
+            cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True, tile=2,
+            dot_mode="high",
+        )["wav"]
+    )
+    scale = max(float(np.abs(want).max()), 1e-9)
+    # slightly looser than the single-stream kernel test: the factored
+    # constraint + in-kernel STFT add two bf16_3x roundings per block that
+    # the leakage-free NLMS integrator accumulates
+    np.testing.assert_allclose(got, want, atol=5e-4 * scale)
+    from aec_tpu.train.metrics import erle
+
+    tail = slice(3 * n // 4, None)
+    for i in range(b):
+        e_k = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(got[i, tail])))
+        e_s = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(want[i, tail])))
+        assert abs(e_k - e_s) < 0.5, (i, e_k, e_s)
