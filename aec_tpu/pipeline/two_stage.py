@@ -82,9 +82,25 @@ def two_stage_cancel(
     batched = linear_wav.ndim == 2
     lw = linear_wav if batched else linear_wav[None]
     fw = far if batched else far[None]
-    out = little_net_apply(
-        params, lw, fw, erb, scfg, normalize=normalize, precision=p2
-    )
+    # stage-2 fused Pallas kernel on TPU at the production DEFAULT tier:
+    # 6.3 ms vs 10.1 ms XLA apply at batch 256 x 8.2 s, waveform equal to
+    # 1.6e-7 relative (kernels/pallas_stage2.py). The XLA path remains for
+    # parity-grade precisions and hop-fractional lengths (whose trailing
+    # frame count differs).
+    if (
+        jax.default_backend() == "tpu"
+        and p2 == jax.lax.Precision.DEFAULT
+        and lw.shape[-1] % scfg.hop == 0
+    ):
+        from aec_tpu.kernels.pallas_stage2 import little_net_apply_fused_wav
+
+        out = little_net_apply_fused_wav(
+            params, lw, fw, erb, scfg, normalize=normalize
+        )
+    else:
+        out = little_net_apply(
+            params, lw, fw, erb, scfg, normalize=normalize, precision=p2
+        )
     wav, mask = out["wav"], out["mask"]
     if not batched:
         wav, mask = wav[0], mask[0]

@@ -34,32 +34,25 @@ import numpy as np
 
 
 def main() -> None:
-    from aec_tpu.configs import KalmanConfig
     from aec_tpu.dsp.erb import erb_filterbank
-    from aec_tpu.dsp.stft import StftConfig
-    from aec_tpu.linear.kalman import kalman_cancel
-    from aec_tpu.models.little_net import little_net_apply, little_net_init
+    from aec_tpu.models.little_net import little_net_init
+    from aec_tpu.pipeline.two_stage import two_stage_cancel
 
     sr = 16000
     batch = 256
     n = 128 * 1024  # 8.19 s per utterance, 512 blocks of 256
-    scfg = StftConfig()
-    kcfg = KalmanConfig()
-
     params = little_net_init(jax.random.PRNGKey(0))
     erb = jnp.asarray(erb_filterbank())
 
     def pipeline(far, mic):
-        # production precision policy (benchmarks/validate_precision.py):
-        # stage-1 per-op mixed (default; -0.16 dB tail-ERLE worst case, only
-        # on >40 dB-ERLE scenes), stage-2 single-pass bf16 STFT/iSTFT
-        # (-50.9 dB SNR vs HIGHEST, 2.0x faster apply)
-        lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
-        wav = little_net_apply(
-            params, lin, far, erb, scfg, normalize=False,
-            precision=jax.lax.Precision.DEFAULT,
-        )["wav"]
-        return jnp.sum(wav)
+        # the production composition API; on TPU it auto-routes BOTH stages
+        # to the fused batch-in-lanes Pallas kernels at the default
+        # production precision policy (stage-1 per-op mixed, -0.16 dB
+        # tail-ERLE worst case; stage-2 single-pass bf16, 1.6e-7 relative
+        # waveform error -- benchmarks/validate_precision.py,
+        # kernels/pallas_kalman.py, kernels/pallas_stage2.py)
+        out = two_stage_cancel(params, far, mic, erb, stage1="kalman")
+        return jnp.sum(out["wav"])
 
     @jax.jit
     def run_k(fm):  # (k, 2, batch, n) -> checksum; k sequential pipeline runs
