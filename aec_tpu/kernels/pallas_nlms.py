@@ -149,6 +149,7 @@ def nlms_cancel_fused(
     *,
     block: int = 256,
     interpret: bool = False,
+    unroll: int = 1,
     dot_mode: str = "mixed",
 ) -> dict[str, jax.Array]:
     """Waveform in/out single-stream NLMS on the fused kernel. far/mic: [n].
@@ -162,7 +163,8 @@ def nlms_cancel_fused(
     x_ri = ols.far_end_spectra(farp[None], block)[0]
     d_blocks = micp.reshape(-1, block)
     e = nlms_filter_fused(
-        cfg, x_ri, d_blocks, block=block, interpret=interpret, dot_mode=dot_mode
+        cfg, x_ri, d_blocks, block=block, interpret=interpret,
+        unroll=unroll, dot_mode=dot_mode,
     )
     return {"wav": e.reshape(-1)[:n]}
 
