@@ -423,11 +423,18 @@ def _kernel_batched_bl(
     """
     a, a2 = cfg.a, cfg.a * cfg.a
     obs, floor = cfg.obs_smooth, cfg.psi_floor
-    dot_y = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
     dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
     # far-frame analysis STFT (in-kernel): 3-pass == the library's
     # _SPECTRA_DEFAULT (Precision.HIGH), single-pass only in "bf16" mode
     dot_x = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
+    # K=257-contraction transforms use the k1 split (last bin as an exact
+    # f32 rank-1 update) -- the MXU otherwise pads 257 -> 384 (+50%) on the
+    # FLOP-dominant constraint projection
+    dot_y = (
+        prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
+        else prec.dot_fast_lhs_k1
+    )
+    dot_c = prec.dot_high_lhs_k1 if dot_mode == "high" else prec.dot_fast_lhs_k1
 
     def lsum(v):  # (K, L*tile) -> (K, tile): reduce over partition groups
         out = v[:, :tile]
@@ -440,9 +447,9 @@ def _kernel_batched_bl(
 
     def kernel(far_ref, d_ref,
                fwr_hi, fwr_lo, fwi_hi, fwi_lo,
-               itr_hi, itr_lo, iti_hi, iti_lo,
+               itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
                fr_hi, fr_lo, fi_hi, fi_lo,
-               ihr_hi, ihr_lo, ihi_hi, ihi_lo,
+               ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
                fbr_hi, fbr_lo, fbi_hi, fbi_lo,
                e_ref, wr, wi, p, xbr, xbi, psi, fprev):
         t = pl.program_id(1)
@@ -482,7 +489,9 @@ def _kernel_batched_bl(
             # prior residual: y = sum_l W X (complex), time block via MXU
             yr = lsum(wr_p * xr - wi_p * xi)  # (K, tile)
             yi = lsum(wr_p * xi + wi_p * xr)
-            y_blk = dot_y(itr_hi, itr_lo, yr) + dot_y(iti_hi, iti_lo, yi)
+            y_blk = dot_y(itr_hi, itr_lo, itr_last, yr) + dot_y(
+                iti_hi, iti_lo, iti_last, yi
+            )
             e_blk = d_ref[0, 0, u] - y_blk  # (block, tile)
             e_ref[0, 0, u] = e_blk
             er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
@@ -499,7 +508,9 @@ def _kernel_batched_bl(
             er_d, ei_d = lbcast(er / den), lbcast(ei / den)
             gr = p_pred * (xr * er_d + xi * ei_d)  # (K, L*tile)
             gi = p_pred * (xr * ei_d - xi * er_d)
-            t_blk = dot_r(ihr_hi, ihr_lo, gr) + dot_r(ihi_hi, ihi_lo, gi)
+            t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
+                ihi_hi, ihi_lo, ihi_last, gi
+            )
             wr[:] = wr_p + dot_r(fbr_hi, fbr_lo, t_blk)
             wi[:] = wi_p + dot_r(fbi_hi, fbi_lo, t_blk)
             p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
@@ -571,25 +582,31 @@ def kalman_filter_fused_batched_bl(
         axis=0,
     ).astype(np.float32)  # (2K, N)
     fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
-    consts = [
-        fwd[:, :k].T,  # FW_r (K, N): in-kernel far-frame analysis
-        fwd[:, k:].T,  # FW_i
-        inv_tail[:k, :].T,  # IT_r (block, K)
-        inv_tail[k:, :].T,  # IT_i
-        fwd_tail[:, :k].T,  # F_r (K, block)
-        fwd_tail[:, k:].T,  # F_i
-        inv_full[:k, :block].T,  # IH_r (block, K)
-        inv_full[k:, :block].T,  # IH_i
-        fwd_head[:, :k].T,  # FB_r (K, block)
-        fwd_head[:, k:].T,  # FB_i
-    ]
-    const_ops = [m for c in consts for m in prec.split_hi_lo(c)]
+
+    def plain(c):  # bf16_3x split pair
+        return list(prec.split_hi_lo(c))
+
+    def k1(c):  # (rows, K): split first K-1 cols, last col as f32 (rows, 1)
+        return [*prec.split_hi_lo(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
+
+    const_ops = (
+        plain(fwd[:, :k].T)  # FW_r (K, N): in-kernel far-frame analysis
+        + plain(fwd[:, k:].T)  # FW_i
+        + k1(inv_tail[:k, :].T)  # IT_r (block, K)
+        + k1(inv_tail[k:, :].T)  # IT_i
+        + plain(fwd_tail[:, :k].T)  # F_r (K, block)
+        + plain(fwd_tail[:, k:].T)  # F_i
+        + k1(inv_full[:k, :block].T)  # IH_r (block, K)
+        + k1(inv_full[k:, :block].T)  # IH_i
+        + plain(fwd_head[:, :k].T)  # FB_r (K, block)
+        + plain(fwd_head[:, k:].T)  # FB_i
+    )
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
         grid=(bt, t_total // unroll),
         in_specs=[step(block), step(block)]
-        + [whole(*c.shape) for c in consts for _ in (0, 1)],
+        + [whole(*c.shape) for c in const_ops],
         out_specs=step(block),
         out_shape=jax.ShapeDtypeStruct(
             (bt, t_total // unroll, unroll, block, tile), jnp.float32

@@ -69,3 +69,22 @@ def dot_fast_lhs(m_hi_ref, _m_lo_ref, x):
     return jnp.dot(
         m_hi_ref[:], x.astype(jnp.bfloat16), preferred_element_type=jnp.float32
     )
+
+
+def dot_high_lhs_k1(m_hi_ref, m_lo_ref, m_last_ref, x):
+    """``m @ x`` where m has K = 2^p + 1 columns (the rfft bin count).
+
+    The MXU pads contraction dims to multiples of 128, so contracting 257
+    costs 384 (+50% on the FLOP-dominant constraint matmuls). Here the first
+    2^p columns run as the bf16_3x matmul and the last (Nyquist-bin) column
+    is an EXACT f32 rank-1 VPU update — both faster and slightly more
+    accurate than padding. ``m_hi/lo`` are the (rows, K-1) split; ``m_last``
+    is the (rows, 1) f32 final column; ``x`` is (K, n)."""
+    body = dot_high_lhs(m_hi_ref, m_lo_ref, x[:-1])
+    return body + m_last_ref[:] * x[-1:]
+
+
+def dot_fast_lhs_k1(m_hi_ref, _m_lo_ref, m_last_ref, x):
+    """Single-pass variant of :func:`dot_high_lhs_k1`."""
+    body = dot_fast_lhs(m_hi_ref, _m_lo_ref, x[:-1])
+    return body + m_last_ref[:] * x[-1:]
