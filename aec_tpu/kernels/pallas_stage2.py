@@ -59,10 +59,13 @@ def _kernel(cfg: StftConfig, e_bands: int, tile: int, dot_mode: str):
     hop = cfg.hop
     h_dim = e_bands
     dot = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
+    # synthesis contracts K=257 bins: Nyquist bin as an exact f32 rank-1
+    # update instead of MXU contraction padding 257 -> 384 (precision.py)
+    dot_k1 = prec.dot_high_lhs_k1 if dot_mode == "high" else prec.dot_fast_lhs_k1
 
     def kernel(lin_ref, far_ref,
                ar_hi, ar_lo, ai_hi, ai_lo,
-               sr_hi, sr_lo, si_hi, si_lo,
+               sr_hi, sr_lo, sr_last, si_hi, si_lo, si_last,
                ef_hi, ef_lo, eb_hi, eb_lo,
                wih_hi, wih_lo, whh_hi, whh_lo,
                w1_hi, w1_lo, w2_hi, w2_lo,
@@ -111,7 +114,9 @@ def _kernel(cfg: StftConfig, e_bands: int, tile: int, dot_mode: str):
         # un-normalized ERB back-projection applied to re & im (ERB.py:304-310)
         gain = dot(eb_hi, eb_lo, mask * me)  # (K, tile)
         outr, outi = gain * sr, gain * si
-        syn = dot(sr_hi, sr_lo, outr) + dot(si_hi, si_lo, outi)  # (win, tile)
+        syn = dot_k1(sr_hi, sr_lo, sr_last, outr) + dot_k1(
+            si_hi, si_lo, si_last, outi
+        )  # (win, tile)
 
         # OLA emit: step t completes output block t-1; the t = 0 write is
         # placeholder data into the same buffered block that step 1
@@ -167,19 +172,22 @@ def little_net_apply_fused(
 
     erb_f = jnp.asarray(erb, jnp.float32)
     gru = params["gru"]
-    consts = [
-        analysis[:, :k].T,  # A_r (K, win)
-        analysis[:, k:].T,  # A_i
-        synthesis[:k, :].T,  # S_r (win, K)
-        synthesis[k:, :].T,  # S_i
-        erb_f.T,  # ERB_f (E, K)
-        erb_f,  # ERB_b (K, E)
-        jnp.asarray(gru["w_ih"], jnp.float32),  # (3H, 2E)
-        jnp.asarray(gru["w_hh"], jnp.float32),  # (3H, H)
-        jnp.asarray(params["lin1"]["w"], jnp.float32),  # (E, 2E)
-        jnp.asarray(params["lin2"]["w"], jnp.float32),  # (E, E)
-    ]
-    const_ops = [m for c in consts for m in split(c)]
+
+    def k1(c):  # (rows, K): split first K-1 cols, last col f32 (rows, 1)
+        return [*split(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
+
+    const_ops = (
+        list(split(analysis[:, :k].T))  # A_r (K, win)
+        + list(split(analysis[:, k:].T))  # A_i
+        + k1(synthesis[:k, :].T)  # S_r (win, K)
+        + k1(synthesis[k:, :].T)  # S_i
+        + list(split(erb_f.T))  # ERB_f (E, K)
+        + list(split(erb_f))  # ERB_b (K, E)
+        + list(split(jnp.asarray(gru["w_ih"], jnp.float32)))  # (3H, 2E)
+        + list(split(jnp.asarray(gru["w_hh"], jnp.float32)))  # (3H, H)
+        + list(split(jnp.asarray(params["lin1"]["w"], jnp.float32)))
+        + list(split(jnp.asarray(params["lin2"]["w"], jnp.float32)))
+    )
     w2 = periodic_window(cfg.win_type, cfg.win_len) ** 2
     inv_env = (1.0 / (w2[: cfg.hop] + w2[cfg.hop :] + 1e-8)).astype(np.float32)
     vecs = [
@@ -210,7 +218,7 @@ def little_net_apply_fused(
         _kernel(cfg, e_bands, tile, dot_mode),
         grid=(bt, t_total),
         in_specs=[step, step]
-        + [whole(*c.shape) for c in consts for _ in (0, 1)]
+        + [whole(*c.shape) for c in const_ops]
         + [whole(*v.shape) for v in vecs],
         out_specs=[out_spec, mask_spec],
         out_shape=[

@@ -25,7 +25,7 @@ import numpy as np
 from aec_tpu.configs import KalmanConfig
 from aec_tpu.dsp.erb import erb_filterbank
 from aec_tpu.dsp.stft import StftConfig
-from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched
+from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
 from aec_tpu.linear.kalman import kalman_cancel
 from aec_tpu.models.little_net import little_net_apply, little_net_init
 
@@ -102,17 +102,17 @@ def main() -> None:
             "scan_mixed": kalman_cancel(
                 kcfg, farb, micb, fused=False, precision=mixed
             )["wav"][0],
-            "fused_mixed": kalman_cancel_fused_batched(
+            "fused_mixed": kalman_cancel_fused_batched_bl(
                 kcfg, farb, micb, tile=4, dot_mode="mixed"
             )["wav"][0],
-            "fused_high": kalman_cancel_fused_batched(
+            "fused_high": kalman_cancel_fused_batched_bl(
                 kcfg, farb, micb, tile=4, dot_mode="high"
             )["wav"][0],
             "scan_default": kalman_cancel(
                 kcfg, farb, micb, fused=False,
                 precision=jax.lax.Precision.DEFAULT,
             )["wav"][0],
-            "fused_bf16": kalman_cancel_fused_batched(
+            "fused_bf16": kalman_cancel_fused_batched_bl(
                 kcfg, farb, micb, tile=4, dot_mode="bf16"
             )["wav"][0],
         }
