@@ -1,0 +1,39 @@
+"""Single-kernel two-stage pipeline == scan composition (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.configs import KalmanConfig
+from aec_tpu.dsp.erb import erb_filterbank
+from aec_tpu.kernels.pallas_two_stage import two_stage_fused
+from aec_tpu.models.little_net import little_net_init
+from aec_tpu.pipeline.two_stage import two_stage_cancel
+
+
+def test_two_stage_fused_matches_composition(rng):
+    params = little_net_init(jax.random.PRNGKey(5))
+    erb = jnp.asarray(erb_filterbank())
+    b, n = 3, 20 * 256
+    far = rng.standard_normal((b, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(300) / 60.0) * rng.standard_normal(300)).astype(
+        np.float32
+    )
+    mic = np.stack(
+        [np.convolve(far[i], 0.4 * rir)[:n] for i in range(b)]
+    ).astype(np.float32)
+    want = two_stage_cancel(
+        params, jnp.asarray(far), jnp.asarray(mic), erb, normalize=False
+    )
+    got = two_stage_fused(
+        params, jnp.asarray(far), jnp.asarray(mic), erb,
+        interpret=True, tile=2, dot_mode="high",
+    )
+    for key in ("wav", "linear_wav"):
+        w, g = np.asarray(want[key]), np.asarray(got[key])
+        assert g.shape == w.shape, key
+        scale = max(float(np.abs(w).max()), 1e-9)
+        np.testing.assert_allclose(g, w, atol=2e-3 * scale, err_msg=key)
+    np.testing.assert_allclose(
+        np.asarray(got["mask"]), np.asarray(want["mask"]), atol=2e-3
+    )
