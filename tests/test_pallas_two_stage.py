@@ -37,3 +37,18 @@ def test_two_stage_fused_matches_composition(rng):
     np.testing.assert_allclose(
         np.asarray(got["mask"]), np.asarray(want["mask"]), atol=2e-3
     )
+
+
+def test_two_stage_cpu_keeps_xla_paths(rng):
+    """On the CPU backend two_stage_cancel must NOT route to the TPU-only
+    Pallas kernels (stage-1 scan carries state; stage-2 XLA apply)."""
+    from aec_tpu.linear.kalman import kalman_cancel
+
+    params = little_net_init(jax.random.PRNGKey(6))
+    erb = jnp.asarray(erb_filterbank())
+    far = jnp.asarray(rng.standard_normal((2, 8 * 256)).astype(np.float32))
+    mic = jnp.asarray(rng.standard_normal((2, 8 * 256)).astype(np.float32))
+    out = two_stage_cancel(params, far, mic, erb, normalize=False)
+    assert out["wav"].shape == far.shape
+    # the stage-1 auto route stays scan on CPU (kernel path returns state=None)
+    assert kalman_cancel(KalmanConfig(), far, mic)["state"] is not None
