@@ -1,0 +1,265 @@
+"""Shared building blocks for the batch-in-lanes Pallas kernels.
+
+Three kernels share the same per-step math (pallas_kalman's batched stage-1
+block update, pallas_stage2's LittleNet frame step, and pallas_two_stage
+which composes both in one grid step) and the same constant constructions.
+Keeping them here guarantees the kernels stay numerically in lockstep — the
+composed kernel's waveform is asserted bit-identical to the composition of
+the separate ones.
+
+Layout conventions (see pallas_kalman._kernel_batched_bl for the rationale):
+bins in sublanes, (partition x utterance-tile) columns in lanes, re/im as
+separate arrays, transforms as left-multiplications by constant bases, with
+K=257 contractions split as 256 MXU columns + an exact f32 Nyquist rank-1
+update (precision.dot_*_lhs_k1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aec_tpu.kernels import precision as prec
+
+
+def make_lsum(l: int, tile: int):
+    """(K, L*tile) -> (K, tile): reduce over 128-aligned partition groups."""
+
+    def lsum(v):
+        out = v[:, :tile]
+        for li in range(1, l):
+            out = out + v[:, li * tile : (li + 1) * tile]
+        return out
+
+    return lsum
+
+
+def make_lbcast(l: int):
+    """(K, tile) -> (K, L*tile): broadcast across partition lane groups."""
+
+    def lbcast(v):
+        return jnp.concatenate([v] * l, axis=1)
+
+    return lbcast
+
+
+def _plain(c):
+    return list(prec.split_hi_lo(c))
+
+
+def _k1(c):
+    """(rows, K) constant: bf16_3x split of the first K-1 columns + the
+    final (Nyquist) column as an f32 (rows, 1) vector."""
+    return [*prec.split_hi_lo(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
+
+
+def stage1_consts(block: int) -> list[jax.Array]:
+    """The 24 stage-1 constant operands, in kernel argument order:
+
+    FW_r/i (K, N) plain   — in-kernel far-frame analysis DFT
+    IT_r/i (block, K) k1  — inverse-DFT tail (echo estimate -> time block)
+    F_r/i  (K, block) plain — error block -> spectrum
+    IH_r/i (block, K) k1  — factored-constraint head (rank-B projection)
+    FB_r/i (K, block) plain — factored-constraint tail
+    """
+    from aec_tpu.linear import overlap_save as ols
+
+    k = block + 1
+    fwd, inv_tail, _ = ols._dft_mats(block)
+    n2 = 2 * block
+    inv_full = np.concatenate(
+        [np.fft.irfft(np.eye(k), n=n2), np.fft.irfft(1j * np.eye(k), n=n2)],
+        axis=0,
+    ).astype(np.float32)  # (2K, N)
+    fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
+    return (
+        _plain(fwd[:, :k].T)
+        + _plain(fwd[:, k:].T)
+        + _k1(inv_tail[:k, :].T)
+        + _k1(inv_tail[k:, :].T)
+        + _plain(fwd_tail[:, :k].T)
+        + _plain(fwd_tail[:, k:].T)
+        + _k1(inv_full[:k, :block].T)
+        + _k1(inv_full[k:, :block].T)
+        + _plain(fwd_head[:, :k].T)
+        + _plain(fwd_head[:, k:].T)
+    )
+
+
+def _split_traced(m):
+    """Traceable bf16_3x split (params/erb arrive as jit arguments)."""
+    m = jnp.asarray(m, jnp.float32)
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return [hi, lo]
+
+
+def _k1_traced(c):
+    return [*_split_traced(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
+
+
+def stage2_consts(params, erb, cfg) -> list[jax.Array]:
+    """The 22 stage-2 constant operands, in kernel argument order:
+
+    A_r/i (K, win) plain — windowed analysis DFT
+    S_r/i (win, K) k1    — pinv synthesis
+    ERB_f (E, K), ERB_b (K, E) plain; GRU W_ih/W_hh, lin1/lin2 W plain.
+    """
+    from aec_tpu.dsp import stft as stft_mod
+
+    k = cfg.n_freqs
+    analysis, synthesis = stft_mod._bases(cfg)
+    analysis = analysis.astype(np.float32)
+    synthesis = synthesis.astype(np.float32)
+    erb_f = jnp.asarray(erb, jnp.float32)
+    gru = params["gru"]
+    return (
+        _split_traced(analysis[:, :k].T)
+        + _split_traced(analysis[:, k:].T)
+        + _k1_traced(synthesis[:k, :].T)
+        + _k1_traced(synthesis[k:, :].T)
+        + _split_traced(erb_f.T)
+        + _split_traced(erb_f)
+        + _split_traced(jnp.asarray(gru["w_ih"], jnp.float32))
+        + _split_traced(jnp.asarray(gru["w_hh"], jnp.float32))
+        + _split_traced(jnp.asarray(params["lin1"]["w"], jnp.float32))
+        + _split_traced(jnp.asarray(params["lin2"]["w"], jnp.float32))
+    )
+
+
+def stage2_vecs(params, cfg) -> list[jax.Array]:
+    """Bias column vectors + the inverse interior OLA envelope (hop, 1)."""
+    from aec_tpu.dsp.windows import periodic_window
+
+    gru = params["gru"]
+    w2 = periodic_window(cfg.win_type, cfg.win_len) ** 2
+    inv_env = (1.0 / (w2[: cfg.hop] + w2[cfg.hop :] + 1e-8)).astype(np.float32)
+    return [
+        jnp.asarray(gru["b_ih"], jnp.float32)[:, None],
+        jnp.asarray(gru["b_hh"], jnp.float32)[:, None],
+        jnp.asarray(params["lin1"]["b"], jnp.float32)[:, None],
+        jnp.asarray(params["lin2"]["b"], jnp.float32)[:, None],
+        jnp.asarray(inv_env[:, None]),
+    ]
+
+
+def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b):
+    """One batched PBFD-Kalman block update on batch-in-lanes refs.
+
+    ``dots``  = (dot_x, dot_y, dot_r, dot_c) — the per-tier matmul fns;
+    ``consts`` = the 24-tuple from :func:`stage1_consts` (as kernel refs);
+    ``state`` = (wr, wi, p, xbr, xbi, psi, fprev) scratch refs.
+    Mutates the state refs; returns the echo-cancelled block (hop, tile).
+    Equations: linear/kalman.kalman_step.
+    """
+    dot_x, dot_y, dot_r, dot_c = dots
+    (fwr_hi, fwr_lo, fwi_hi, fwi_lo,
+     itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
+     fr_hi, fr_lo, fi_hi, fi_lo,
+     ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
+     fbr_hi, fbr_lo, fbi_hi, fbi_lo) = consts
+    wr, wi, p, xbr, xbi, psi, fprev = state
+    a, a2 = kcfg.a, kcfg.a * kcfg.a
+    obs, floor = kcfg.obs_smooth, kcfg.psi_floor
+    lsum = make_lsum(l, tile)
+    lbcast = make_lbcast(l)
+
+    # in-kernel analysis STFT of the far frame [(t-1)B, (t+1)B)
+    frame = jnp.concatenate([fprev[:], far_b], axis=0)  # (2B, tile)
+    fprev[:] = far_b
+    xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
+    xi_t = dot_x(fwi_hi, fwi_lo, frame)
+    # ring push: newest spectra enter lane group 0
+    xr = jnp.concatenate([xr_t, xbr[:, :-tile]], axis=1)
+    xi = jnp.concatenate([xi_t, xbi[:, :-tile]], axis=1)
+    xbr[:] = xr
+    xbi[:] = xi
+
+    # predict
+    wr_p, wi_p = a * wr[:], a * wi[:]
+    p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+
+    # prior residual
+    yr = lsum(wr_p * xr - wi_p * xi)  # (K, tile)
+    yi = lsum(wr_p * xi + wi_p * xr)
+    y_blk = dot_y(itr_hi, itr_lo, itr_last, yr) + dot_y(
+        iti_hi, iti_lo, iti_last, yi
+    )
+    e_blk = d_b - y_blk  # (block, tile)
+    er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
+    ei = dot_r(fi_hi, fi_lo, e_blk)
+
+    psi_new = jnp.maximum(obs * psi[:] + (1.0 - obs) * (er * er + ei * ei), floor)
+    psi[:] = psi_new
+
+    # gain + constrained update (factored rank-B projection)
+    x2 = xr * xr + xi * xi  # (K, L*tile)
+    den = lsum(x2 * p_pred) + 2.0 * psi_new  # (K, tile)
+    er_d, ei_d = lbcast(er / den), lbcast(ei / den)
+    gr = p_pred * (xr * er_d + xi * ei_d)  # (K, L*tile)
+    gi = p_pred * (xr * ei_d - xi * er_d)
+    t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
+        ihi_hi, ihi_lo, ihi_last, gi
+    )
+    wr[:] = wr_p + dot_r(fbr_hi, fbr_lo, t_blk)
+    wi[:] = wi_p + dot_r(fbi_hi, fbi_lo, t_blk)
+    p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
+    return e_blk
+
+
+def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b):
+    """One LittleNet frame step on batch-in-lanes refs.
+
+    ``dots`` = (dot2, dot2_k1); ``consts`` = the 24-tuple from
+    :func:`stage2_consts`; ``vecs`` = (bih, bhh, b1, b2, inv_env) refs;
+    ``state`` = (h, tail, prev_lin, prev_far) scratch refs. Mutates the
+    state; returns (out_block, mask) where out_block completes output
+    block t-1 (OLA). Equations: models/little_net & pipeline/streaming.
+    """
+    dot2, dot2_k1 = dots
+    (ar_hi, ar_lo, ai_hi, ai_lo,
+     s2r_hi, s2r_lo, s2r_last, s2i_hi, s2i_lo, s2i_last,
+     ef_hi, ef_lo, eb_hi, eb_lo,
+     wih_hi, wih_lo, whh_hi, whh_lo,
+     w1_hi, w1_lo, w2_hi, w2_lo) = consts
+    bih, bhh, b1, b2, inv_env = vecs
+    h, tail, prev_lin, prev_far = state
+    h_dim = e_bands
+
+    lin_frame = jnp.concatenate([prev_lin[:], lin_b], axis=0)  # (win, tile)
+    far_frame = jnp.concatenate([prev_far[:], far_b], axis=0)
+    prev_lin[:] = lin_b
+    prev_far[:] = far_b
+
+    # windowed analysis DFT (window folded into the bases)
+    sr = dot2(ar_hi, ar_lo, lin_frame)  # (K, tile)
+    si = dot2(ai_hi, ai_lo, lin_frame)
+    fr = dot2(ar_hi, ar_lo, far_frame)
+    fi = dot2(ai_hi, ai_lo, far_frame)
+    mag = jnp.sqrt(sr * sr + si * si + 1e-9)
+    fmag = jnp.sqrt(fr * fr + fi * fi + 1e-9)
+
+    # ERB features + GRU step + mask head (ERB.py:282-301 semantics)
+    me = dot2(ef_hi, ef_lo, mag)  # (E, tile)
+    fe = dot2(ef_hi, ef_lo, fmag)
+    feats = jnp.concatenate([me, jnp.abs(me - fe)], axis=0)  # (2E, tile)
+    xp = dot2(wih_hi, wih_lo, feats) + bih[:]  # (3H, tile)
+    hp = dot2(whh_hi, whh_lo, h[:]) + bhh[:]
+    r = jax.nn.sigmoid(xp[:h_dim] + hp[:h_dim])
+    z = jax.nn.sigmoid(xp[h_dim : 2 * h_dim] + hp[h_dim : 2 * h_dim])
+    n_ = jnp.tanh(xp[2 * h_dim :] + r * hp[2 * h_dim :])
+    h_new = (1.0 - z) * n_ + z * h[:]
+    h[:] = h_new
+    hid = jnp.concatenate([h_new, me], axis=0)  # (2E, tile)
+    l1 = jax.nn.relu(dot2(w1_hi, w1_lo, hid) + b1[:])  # (E, tile)
+    mask = jax.nn.sigmoid(dot2(w2_hi, w2_lo, l1) + b2[:])
+
+    # un-normalized ERB back-projection applied to re & im (ERB.py:304-310)
+    gain = dot2(eb_hi, eb_lo, mask * me)  # (K, tile)
+    syn = dot2_k1(s2r_hi, s2r_lo, s2r_last, gain * sr) + dot2_k1(
+        s2i_hi, s2i_lo, s2i_last, gain * si
+    )  # (win, tile)
+    out_block = (tail[:] + syn[:hop]) * inv_env[:] + 1e-9
+    tail[:] = syn[hop:]
+    return out_block, mask

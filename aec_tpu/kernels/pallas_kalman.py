@@ -62,6 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aec_tpu.configs import KalmanConfig
+from aec_tpu.kernels import bl_common as bl
 from aec_tpu.kernels import precision as prec
 from aec_tpu.linear import overlap_save as ols
 
@@ -421,99 +422,33 @@ def _kernel_batched_bl(
     stays VMEM-resident across the whole time grid as in the other fused
     kernels.
     """
-    a, a2 = cfg.a, cfg.a * cfg.a
-    obs, floor = cfg.obs_smooth, cfg.psi_floor
     dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
-    # far-frame analysis STFT (in-kernel): 3-pass == the library's
-    # _SPECTRA_DEFAULT (Precision.HIGH), single-pass only in "bf16" mode
     dot_x = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
-    # K=257-contraction transforms use the k1 split (last bin as an exact
-    # f32 rank-1 update) -- the MXU otherwise pads 257 -> 384 (+50%) on the
-    # FLOP-dominant constraint projection
     dot_y = (
         prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
         else prec.dot_fast_lhs_k1
     )
     dot_c = prec.dot_high_lhs_k1 if dot_mode == "high" else prec.dot_fast_lhs_k1
+    dots = (dot_x, dot_y, dot_r, dot_c)
 
-    def lsum(v):  # (K, L*tile) -> (K, tile): reduce over partition groups
-        out = v[:, :tile]
-        for li in range(1, l):
-            out = out + v[:, li * tile : (li + 1) * tile]
-        return out
-
-    def lbcast(v):  # (K, tile) -> (K, L*tile)
-        return jnp.concatenate([v] * l, axis=1)
-
-    def kernel(far_ref, d_ref,
-               fwr_hi, fwr_lo, fwi_hi, fwi_lo,
-               itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
-               fr_hi, fr_lo, fi_hi, fi_lo,
-               ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
-               fbr_hi, fbr_lo, fbi_hi, fbi_lo,
-               e_ref, wr, wi, p, xbr, xbi, psi, fprev):
+    def kernel(far_ref, d_ref, *args):
+        consts = args[:24]
+        e_ref = args[24]
+        state = args[25:32]  # wr, wi, p, xbr, xbi, psi, fprev
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _init():
-            wr[:] = jnp.zeros_like(wr)
-            wi[:] = jnp.zeros_like(wi)
-            p[:] = jnp.full_like(p, cfg.init_p)
-            xbr[:] = jnp.zeros_like(xbr)
-            xbi[:] = jnp.zeros_like(xbi)
-            psi[:] = jnp.full_like(psi, floor)
-            fprev[:] = jnp.zeros_like(fprev)  # leading zero block, as in
-            # overlap_save.far_end_spectra's causal alignment pad
+            for ref in (*state[:2], *state[3:]):
+                ref[:] = jnp.zeros_like(ref)
+            state[2][:] = jnp.full_like(state[2], cfg.init_p)
+            state[5][:] = jnp.full_like(state[5], cfg.psi_floor)
 
         for u in range(unroll):
-            # in-kernel analysis STFT of the far frame [(t-1)B, (t+1)B):
-            # the previous block lives in VMEM; two (K, 2B) @ (2B, tile)
-            # MXU matmuls replace the whole XLA spectra pass (which
-            # materialized a 2x overlapped frames tensor in HBM)
-            cur = far_ref[0, 0, u]  # (block, tile)
-            frame = jnp.concatenate([fprev[:], cur], axis=0)  # (2B, tile)
-            fprev[:] = cur
-            xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
-            xi_t = dot_x(fwi_hi, fwi_lo, frame)
-
-            # ring push: newest spectra enter lane group 0, rest shift right
-            xr = jnp.concatenate([xr_t, xbr[:, :-tile]], axis=1)
-            xi = jnp.concatenate([xi_t, xbi[:, :-tile]], axis=1)
-            xbr[:] = xr
-            xbi[:] = xi
-
-            # predict
-            wr_p, wi_p = a * wr[:], a * wi[:]
-            p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
-
-            # prior residual: y = sum_l W X (complex), time block via MXU
-            yr = lsum(wr_p * xr - wi_p * xi)  # (K, tile)
-            yi = lsum(wr_p * xi + wi_p * xr)
-            y_blk = dot_y(itr_hi, itr_lo, itr_last, yr) + dot_y(
-                iti_hi, iti_lo, iti_last, yi
+            e_ref[0, 0, u] = bl.kalman_block_step(
+                cfg, l, tile, dots, consts, state,
+                far_ref[0, 0, u], d_ref[0, 0, u],
             )
-            e_blk = d_ref[0, 0, u] - y_blk  # (block, tile)
-            e_ref[0, 0, u] = e_blk
-            er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
-            ei = dot_r(fi_hi, fi_lo, e_blk)
-
-            psi_new = jnp.maximum(
-                obs * psi[:] + (1.0 - obs) * (er * er + ei * ei), floor
-            )
-            psi[:] = psi_new
-
-            # gain + constrained update (factored projection, wide matmuls)
-            x2 = xr * xr + xi * xi  # (K, L*tile)
-            den = lsum(x2 * p_pred) + 2.0 * psi_new  # (K, tile)
-            er_d, ei_d = lbcast(er / den), lbcast(ei / den)
-            gr = p_pred * (xr * er_d + xi * ei_d)  # (K, L*tile)
-            gi = p_pred * (xr * ei_d - xi * er_d)
-            t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
-                ihi_hi, ihi_lo, ihi_last, gi
-            )
-            wr[:] = wr_p + dot_r(fbr_hi, fbr_lo, t_blk)
-            wi[:] = wi_p + dot_r(fbi_hi, fbi_lo, t_blk)
-            p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
 
     return kernel
 
@@ -544,7 +479,6 @@ def kalman_filter_fused_batched_bl(
     """
     batch, t_steps, _ = far_blocks.shape
     k = block + 1
-    fwd, inv_tail, constrain = ols._dft_mats(block)
     l = cfg.n_blocks
     if unroll is None:
         # "high" runs every matmul 3-pass, whose operand splits push scoped
@@ -574,33 +508,7 @@ def kalman_filter_fused_batched_bl(
         (r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM
     )
 
-    # the inverse-DFT HEAD columns (first B time samples) for the factored
-    # constraint; _dft_mats only exports the tail half
-    n2 = 2 * block
-    inv_full = np.concatenate(
-        [np.fft.irfft(np.eye(k), n=n2), np.fft.irfft(1j * np.eye(k), n=n2)],
-        axis=0,
-    ).astype(np.float32)  # (2K, N)
-    fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
-
-    def plain(c):  # bf16_3x split pair
-        return list(prec.split_hi_lo(c))
-
-    def k1(c):  # (rows, K): split first K-1 cols, last col as f32 (rows, 1)
-        return [*prec.split_hi_lo(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
-
-    const_ops = (
-        plain(fwd[:, :k].T)  # FW_r (K, N): in-kernel far-frame analysis
-        + plain(fwd[:, k:].T)  # FW_i
-        + k1(inv_tail[:k, :].T)  # IT_r (block, K)
-        + k1(inv_tail[k:, :].T)  # IT_i
-        + plain(fwd_tail[:, :k].T)  # F_r (K, block)
-        + plain(fwd_tail[:, k:].T)  # F_i
-        + k1(inv_full[:k, :block].T)  # IH_r (block, K)
-        + k1(inv_full[k:, :block].T)  # IH_i
-        + plain(fwd_head[:, :k].T)  # FB_r (K, block)
-        + plain(fwd_head[:, k:].T)  # FB_i
-    )
+    const_ops = bl.stage1_consts(block)
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),

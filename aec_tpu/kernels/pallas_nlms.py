@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aec_tpu.configs import NlmsConfig
+from aec_tpu.kernels import bl_common as bl
 from aec_tpu.kernels import precision as prec
 from aec_tpu.linear import overlap_save as ols
 
@@ -192,14 +193,8 @@ def _kernel_batched_bl(
     )
     dot_c = prec.dot_high_lhs_k1 if dot_mode == "high" else prec.dot_fast_lhs_k1
 
-    def lsum(v):  # (K, L*tile) -> (K, tile)
-        out = v[:, :tile]
-        for li in range(1, l):
-            out = out + v[:, li * tile : (li + 1) * tile]
-        return out
-
-    def lbcast(v):  # (K, tile) -> (K, L*tile)
-        return jnp.concatenate([v] * l, axis=1)
+    lsum = bl.make_lsum(l, tile)
+    lbcast = bl.make_lbcast(l)
 
     def kernel(far_ref, d_ref,
                fwr_hi, fwr_lo, fwi_hi, fwi_lo,
@@ -279,7 +274,6 @@ def nlms_filter_fused_batched_bl(
     """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, T/unroll)."""
     batch, t_steps, _ = far_blocks.shape
     k = block + 1
-    fwd, inv_tail, _ = ols._dft_mats(block)
     l = cfg.n_blocks
     if unroll is None:
         # "high" runs every matmul 3-pass, whose operand splits push scoped
@@ -309,31 +303,7 @@ def nlms_filter_fused_batched_bl(
         (r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM
     )
 
-    n2 = 2 * block
-    inv_full = np.concatenate(
-        [np.fft.irfft(np.eye(k), n=n2), np.fft.irfft(1j * np.eye(k), n=n2)],
-        axis=0,
-    ).astype(np.float32)
-    fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
-
-    def plain(c):
-        return list(prec.split_hi_lo(c))
-
-    def k1(c):  # (rows, K): split first K-1 cols, last col as f32 (rows, 1)
-        return [*prec.split_hi_lo(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
-
-    const_ops = (
-        plain(fwd[:, :k].T)  # FW_r (K, N)
-        + plain(fwd[:, k:].T)  # FW_i
-        + k1(inv_tail[:k, :].T)  # IT_r (block, K)
-        + k1(inv_tail[k:, :].T)  # IT_i
-        + plain(fwd_tail[:, :k].T)  # F_r (K, block)
-        + plain(fwd_tail[:, k:].T)  # F_i
-        + k1(inv_full[:k, :block].T)  # IH_r (block, K)
-        + k1(inv_full[k:, :block].T)  # IH_i
-        + plain(fwd_head[:, :k].T)  # FB_r (K, block)
-        + plain(fwd_head[:, k:].T)  # FB_i
-    )
+    const_ops = bl.stage1_consts(block)
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),

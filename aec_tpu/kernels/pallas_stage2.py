@@ -48,81 +48,40 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aec_tpu.dsp import stft as stft_mod
 from aec_tpu.dsp.stft import StftConfig
-from aec_tpu.dsp.windows import periodic_window
+from aec_tpu.kernels import bl_common as bl
 from aec_tpu.kernels import precision as prec
 
 
-def _kernel(cfg: StftConfig, e_bands: int, tile: int, dot_mode: str):
-    k = cfg.n_freqs
+def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str):
     hop = cfg.hop
-    h_dim = e_bands
-    dot = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
-    # synthesis contracts K=257 bins: Nyquist bin as an exact f32 rank-1
-    # update instead of MXU contraction padding 257 -> 384 (precision.py)
-    dot_k1 = prec.dot_high_lhs_k1 if dot_mode == "high" else prec.dot_fast_lhs_k1
+    high = dot_mode == "high"
+    dots = (
+        prec.dot_high_lhs if high else prec.dot_fast_lhs,
+        prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1,
+    )
 
-    def kernel(lin_ref, far_ref,
-               ar_hi, ar_lo, ai_hi, ai_lo,
-               sr_hi, sr_lo, sr_last, si_hi, si_lo, si_last,
-               ef_hi, ef_lo, eb_hi, eb_lo,
-               wih_hi, wih_lo, whh_hi, whh_lo,
-               w1_hi, w1_lo, w2_hi, w2_lo,
-               bih, bhh, b1, b2, inv_env,
-               out_ref, mask_ref, h, tail, prev_lin, prev_far):
+    def kernel(lin_ref, far_ref, *args):
+        consts = args[:22]
+        vecs = args[22:27]
+        out_ref, mask_ref = args[27:29]
+        state = args[29:33]  # h, tail, prev_lin, prev_far
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _init():
-            h[:] = jnp.zeros_like(h)
-            tail[:] = jnp.zeros_like(tail)
-            prev_lin[:] = jnp.zeros_like(prev_lin)
-            prev_far[:] = jnp.zeros_like(prev_far)
-
-        lin_b = lin_ref[0, 0]  # (hop, tile)
-        far_b = far_ref[0, 0]
-        lin_frame = jnp.concatenate([prev_lin[:], lin_b], axis=0)  # (win, tile)
-        far_frame = jnp.concatenate([prev_far[:], far_b], axis=0)
-        prev_lin[:] = lin_b
-        prev_far[:] = far_b
-
-        # windowed analysis DFT (window folded into the bases)
-        sr = dot(ar_hi, ar_lo, lin_frame)  # (K, tile)
-        si = dot(ai_hi, ai_lo, lin_frame)
-        fr = dot(ar_hi, ar_lo, far_frame)
-        fi = dot(ai_hi, ai_lo, far_frame)
-        mag = jnp.sqrt(sr * sr + si * si + 1e-9)
-        fmag = jnp.sqrt(fr * fr + fi * fi + 1e-9)
-
-        # ERB features + GRU step + mask head (ERB.py:282-301 semantics)
-        me = dot(ef_hi, ef_lo, mag)  # (E, tile)
-        fe = dot(ef_hi, ef_lo, fmag)
-        feats = jnp.concatenate([me, jnp.abs(me - fe)], axis=0)  # (2E, tile)
-        xp = dot(wih_hi, wih_lo, feats) + bih[:]  # (3H, tile)
-        hp = dot(whh_hi, whh_lo, h[:]) + bhh[:]
-        r = jax.nn.sigmoid(xp[:h_dim] + hp[:h_dim])
-        z = jax.nn.sigmoid(xp[h_dim : 2 * h_dim] + hp[h_dim : 2 * h_dim])
-        n_ = jnp.tanh(xp[2 * h_dim :] + r * hp[2 * h_dim :])
-        h_new = (1.0 - z) * n_ + z * h[:]
-        h[:] = h_new
-        hid = jnp.concatenate([h_new, me], axis=0)  # (2E, tile)
-        l1 = jax.nn.relu(dot(w1_hi, w1_lo, hid) + b1[:])  # (E, tile)
-        mask = jax.nn.sigmoid(dot(w2_hi, w2_lo, l1) + b2[:])
-        mask_ref[0, 0] = mask
-
-        # un-normalized ERB back-projection applied to re & im (ERB.py:304-310)
-        gain = dot(eb_hi, eb_lo, mask * me)  # (K, tile)
-        outr, outi = gain * sr, gain * si
-        syn = dot_k1(sr_hi, sr_lo, sr_last, outr) + dot_k1(
-            si_hi, si_lo, si_last, outi
-        )  # (win, tile)
+            for ref in state:
+                ref[:] = jnp.zeros_like(ref)
 
         # OLA emit: step t completes output block t-1; the t = 0 write is
         # placeholder data into the same buffered block that step 1
         # overwrites before it is flushed (out index_map clamps to 0)
-        out_ref[0, 0] = (tail[:] + syn[:hop]) * inv_env[:] + 1e-9
-        tail[:] = syn[hop:]
+        out_block, mask = bl.stage2_frame_step(
+            e_bands, hop, dots, consts, vecs, state,
+            lin_ref[0, 0], far_ref[0, 0],
+        )
+        mask_ref[0, 0] = mask
+        out_ref[0, 0] = out_block
 
     return kernel
 
@@ -160,43 +119,8 @@ def little_net_apply_fused(
         a = a.astype(jnp.float32).reshape(bt, tile, t_total, hop)
         return jnp.transpose(a, (0, 2, 3, 1))
 
-    analysis, synthesis = stft_mod._bases(cfg)  # host numpy (win,2K)/(2K,win)
-    analysis = analysis.astype(np.float32)
-    synthesis = synthesis.astype(np.float32)
-
-    def split(m):  # traceable bf16_3x split (params/erb are jit arguments)
-        m = jnp.asarray(m, jnp.float32)
-        hi = m.astype(jnp.bfloat16)
-        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, lo
-
-    erb_f = jnp.asarray(erb, jnp.float32)
-    gru = params["gru"]
-
-    def k1(c):  # (rows, K): split first K-1 cols, last col f32 (rows, 1)
-        return [*split(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
-
-    const_ops = (
-        list(split(analysis[:, :k].T))  # A_r (K, win)
-        + list(split(analysis[:, k:].T))  # A_i
-        + k1(synthesis[:k, :].T)  # S_r (win, K)
-        + k1(synthesis[k:, :].T)  # S_i
-        + list(split(erb_f.T))  # ERB_f (E, K)
-        + list(split(erb_f))  # ERB_b (K, E)
-        + list(split(jnp.asarray(gru["w_ih"], jnp.float32)))  # (3H, 2E)
-        + list(split(jnp.asarray(gru["w_hh"], jnp.float32)))  # (3H, H)
-        + list(split(jnp.asarray(params["lin1"]["w"], jnp.float32)))
-        + list(split(jnp.asarray(params["lin2"]["w"], jnp.float32)))
-    )
-    w2 = periodic_window(cfg.win_type, cfg.win_len) ** 2
-    inv_env = (1.0 / (w2[: cfg.hop] + w2[cfg.hop :] + 1e-8)).astype(np.float32)
-    vecs = [
-        jnp.asarray(gru["b_ih"], jnp.float32)[:, None],  # (3H, 1)
-        jnp.asarray(gru["b_hh"], jnp.float32)[:, None],
-        jnp.asarray(params["lin1"]["b"], jnp.float32)[:, None],  # (E, 1)
-        jnp.asarray(params["lin2"]["b"], jnp.float32)[:, None],
-        jnp.asarray(inv_env[:, None]),  # (hop, 1)
-    ]
+    const_ops = bl.stage2_consts(params, erb, cfg)
+    vecs = bl.stage2_vecs(params, cfg)
 
     step = pl.BlockSpec(
         (1, 1, hop, tile), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
@@ -215,7 +139,7 @@ def little_net_apply_fused(
     )
 
     out, mask = pl.pallas_call(
-        _kernel(cfg, e_bands, tile, dot_mode),
+        _kernel(cfg, e_bands, dot_mode),
         grid=(bt, t_total),
         in_specs=[step, step]
         + [whole(*c.shape) for c in const_ops]

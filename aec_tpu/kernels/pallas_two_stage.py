@@ -50,161 +50,71 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aec_tpu.configs import KalmanConfig
-from aec_tpu.dsp import stft as stft_mod
 from aec_tpu.dsp.stft import StftConfig
-from aec_tpu.dsp.windows import periodic_window
+from aec_tpu.kernels import bl_common as bl
 from aec_tpu.kernels import precision as prec
-from aec_tpu.linear import overlap_save as ols
 
 
 def _kernel(
     kcfg: KalmanConfig, scfg: StftConfig, e_bands: int, tile: int, l: int,
     t_blocks: int, dot_mode: str,
 ):
-    a, a2 = kcfg.a, kcfg.a * kcfg.a
-    obs, floor = kcfg.obs_smooth, kcfg.psi_floor
-    k = scfg.n_freqs
     hop = scfg.hop
-    h_dim = e_bands
     high = dot_mode == "high"
-    # stage-1 tiers (see pallas_kalman)
-    dot_x = prec.dot_high_lhs  # analysis: always 3-pass (_SPECTRA_DEFAULT)
-    dot_y = prec.dot_high_lhs_k1  # cancellation-critical: always 3-pass
-    dot_r = prec.dot_high_lhs if high else prec.dot_fast_lhs
-    dot_c = prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1
-    # stage-2 tiers (see pallas_stage2)
-    dot2 = prec.dot_high_lhs if high else prec.dot_fast_lhs
-    dot2_k1 = prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1
+    # stage-1 tiers (pallas_kalman): analysis + cancellation-critical y
+    # always 3-pass; residual/constraint single-pass unless "high"
+    s1_dots = (
+        prec.dot_high_lhs,
+        prec.dot_high_lhs_k1,
+        prec.dot_high_lhs if high else prec.dot_fast_lhs,
+        prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1,
+    )
+    # stage-2 tiers (pallas_stage2): Precision.DEFAULT equivalent unless high
+    s2_dots = (
+        prec.dot_high_lhs if high else prec.dot_fast_lhs,
+        prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1,
+    )
 
-    def lsum(v):
-        out = v[:, :tile]
-        for li in range(1, l):
-            out = out + v[:, li * tile : (li + 1) * tile]
-        return out
-
-    def lbcast(v):
-        return jnp.concatenate([v] * l, axis=1)
-
-    def kernel(far_ref, d_ref,
-               # stage-1 constants
-               fwr_hi, fwr_lo, fwi_hi, fwi_lo,
-               itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
-               fr_hi, fr_lo, fi_hi, fi_lo,
-               ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
-               fbr_hi, fbr_lo, fbi_hi, fbi_lo,
-               # stage-2 constants
-               ar_hi, ar_lo, ai_hi, ai_lo,
-               s2r_hi, s2r_lo, s2r_last, s2i_hi, s2i_lo, s2i_last,
-               ef_hi, ef_lo, eb_hi, eb_lo,
-               wih_hi, wih_lo, whh_hi, whh_lo,
-               w1_hi, w1_lo, w2_hi, w2_lo,
-               bih, bhh, b1, b2, inv_env,
-               # outputs
-               out_ref, lin_ref, mask_ref,
-               # stage-1 state
-               wr, wi, p, xbr, xbi, psi, fprev,
-               # stage-2 state (+ the in-VMEM lin handoff block)
-               h, tail, prev_lin, prev_far, lin_sc):
+    def kernel(far_ref, d_ref, *args):
+        s1c = args[:24]
+        s2c = args[24:46]  # 22 stage-2 constant operands
+        vecs = args[46:51]
+        out_ref, lin_ref, mask_ref = args[51:54]
+        s1_state = args[54:61]  # wr, wi, p, xbr, xbi, psi, fprev
+        h, tail, prev_lin, prev_far, lin_sc = args[61:66]
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _init():
-            wr[:] = jnp.zeros_like(wr)
-            wi[:] = jnp.zeros_like(wi)
-            p[:] = jnp.full_like(p, kcfg.init_p)
-            xbr[:] = jnp.zeros_like(xbr)
-            xbi[:] = jnp.zeros_like(xbi)
-            psi[:] = jnp.full_like(psi, floor)
-            fprev[:] = jnp.zeros_like(fprev)
-            h[:] = jnp.zeros_like(h)
-            tail[:] = jnp.zeros_like(tail)
-            prev_lin[:] = jnp.zeros_like(prev_lin)
-            prev_far[:] = jnp.zeros_like(prev_far)
+            for ref in (*s1_state[:2], *s1_state[3:], h, tail, prev_lin,
+                        prev_far):
+                ref[:] = jnp.zeros_like(ref)
+            s1_state[2][:] = jnp.full_like(s1_state[2], kcfg.init_p)
+            s1_state[5][:] = jnp.full_like(s1_state[5], kcfg.psi_floor)
 
         far_b = far_ref[0, 0]  # (hop, tile); zeros at the t == T flush step
 
-        # ---- stage 1: one Kalman block update (skipped on the flush step)
+        # stage 1: one Kalman block update (skipped on the flush step); the
+        # echo-cancelled block is handed to stage 2 through VMEM (lin_sc)
         @pl.when(t < t_blocks)
         def _stage1():
-            frame = jnp.concatenate([fprev[:], far_b], axis=0)  # (2B, tile)
-            fprev[:] = far_b
-            xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
-            xi_t = dot_x(fwi_hi, fwi_lo, frame)
-            xr = jnp.concatenate([xr_t, xbr[:, :-tile]], axis=1)
-            xi = jnp.concatenate([xi_t, xbi[:, :-tile]], axis=1)
-            xbr[:] = xr
-            xbi[:] = xi
-
-            wr_p, wi_p = a * wr[:], a * wi[:]
-            p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
-
-            yr = lsum(wr_p * xr - wi_p * xi)
-            yi = lsum(wr_p * xi + wi_p * xr)
-            y_blk = dot_y(itr_hi, itr_lo, itr_last, yr) + dot_y(
-                iti_hi, iti_lo, iti_last, yi
+            e_blk = bl.kalman_block_step(
+                kcfg, l, tile, s1_dots, s1c, s1_state, far_b, d_ref[0, 0]
             )
-            e_blk = d_ref[0, 0] - y_blk  # (hop, tile)
             lin_sc[:] = e_blk
             lin_ref[0, 0] = e_blk
-            er = dot_r(fr_hi, fr_lo, e_blk)
-            ei = dot_r(fi_hi, fi_lo, e_blk)
-
-            psi_new = jnp.maximum(
-                obs * psi[:] + (1.0 - obs) * (er * er + ei * ei), floor
-            )
-            psi[:] = psi_new
-
-            x2 = xr * xr + xi * xi
-            den = lsum(x2 * p_pred) + 2.0 * psi_new
-            er_d, ei_d = lbcast(er / den), lbcast(ei / den)
-            gr = p_pred * (xr * er_d + xi * ei_d)
-            gi = p_pred * (xr * ei_d - xi * er_d)
-            t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
-                ihi_hi, ihi_lo, ihi_last, gi
-            )
-            wr[:] = wr_p + dot_r(fbr_hi, fbr_lo, t_blk)
-            wi[:] = wi_p + dot_r(fbi_hi, fbi_lo, t_blk)
-            p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
 
         @pl.when(t == t_blocks)
         def _flush_zero():
             lin_sc[:] = jnp.zeros_like(lin_sc)
 
-        # ---- stage 2: LittleNet frame step on the in-VMEM stage-1 block
-        lin_b = lin_sc[:]
-        lin_frame = jnp.concatenate([prev_lin[:], lin_b], axis=0)  # (win, tile)
-        far_frame = jnp.concatenate([prev_far[:], far_b], axis=0)
-        prev_lin[:] = lin_b
-        prev_far[:] = far_b
-
-        sr = dot2(ar_hi, ar_lo, lin_frame)  # (K, tile)
-        si = dot2(ai_hi, ai_lo, lin_frame)
-        fr2 = dot2(ar_hi, ar_lo, far_frame)
-        fi2 = dot2(ai_hi, ai_lo, far_frame)
-        mag = jnp.sqrt(sr * sr + si * si + 1e-9)
-        fmag = jnp.sqrt(fr2 * fr2 + fi2 * fi2 + 1e-9)
-
-        me = dot2(ef_hi, ef_lo, mag)  # (E, tile)
-        fe = dot2(ef_hi, ef_lo, fmag)
-        feats = jnp.concatenate([me, jnp.abs(me - fe)], axis=0)
-        xp = dot2(wih_hi, wih_lo, feats) + bih[:]
-        hp = dot2(whh_hi, whh_lo, h[:]) + bhh[:]
-        r = jax.nn.sigmoid(xp[:h_dim] + hp[:h_dim])
-        z = jax.nn.sigmoid(xp[h_dim : 2 * h_dim] + hp[h_dim : 2 * h_dim])
-        n_ = jnp.tanh(xp[2 * h_dim :] + r * hp[2 * h_dim :])
-        h_new = (1.0 - z) * n_ + z * h[:]
-        h[:] = h_new
-        hid = jnp.concatenate([h_new, me], axis=0)
-        l1 = jax.nn.relu(dot2(w1_hi, w1_lo, hid) + b1[:])
-        mask = jax.nn.sigmoid(dot2(w2_hi, w2_lo, l1) + b2[:])
+        # stage 2: LittleNet frame step on the in-VMEM stage-1 block
+        out_block, mask = bl.stage2_frame_step(
+            e_bands, hop, s2_dots, s2c, vecs, (h, tail, prev_lin, prev_far),
+            lin_sc[:], far_b,
+        )
         mask_ref[0, 0] = mask
-
-        gain = dot2(eb_hi, eb_lo, mask * me)  # (K, tile)
-        syn = dot2_k1(s2r_hi, s2r_lo, s2r_last, gain * sr) + dot2_k1(
-            s2i_hi, s2i_lo, s2i_last, gain * si
-        )  # (win, tile)
-        out_ref[0, 0] = (tail[:] + syn[:hop]) * inv_env[:] + 1e-9
-        tail[:] = syn[hop:]
+        out_ref[0, 0] = out_block
 
     return kernel
 
@@ -228,6 +138,12 @@ def two_stage_fused(
     """Full two-stage AEC, one kernel: wavs in -> {wav, linear_wav, mask}."""
     batch, n = far.shape
     assert n % scfg.hop == 0, "fused two-stage needs hop-multiple lengths"
+    # stage-1 shares the stage-2 hop as its block; the DFT constant slicing
+    # below assumes the default 2*hop FFT geometry -- fail fast otherwise
+    assert scfg.fft_len == 2 * scfg.hop and scfg.n_freqs == scfg.hop + 1, (
+        "two_stage_fused requires fft_len == 2*hop (n_freqs == hop+1); "
+        f"got fft_len={scfg.fft_len}, hop={scfg.hop}"
+    )
     hop = scfg.hop
     block = hop
     k = scfg.n_freqs
@@ -253,71 +169,10 @@ def two_stage_fused(
         a = a.reshape(bt, tile, t_total, hop)
         return jnp.transpose(a, (0, 2, 3, 1))
 
-    # stage-1 constants (pallas_kalman layout)
-    fwd, inv_tail, _ = ols._dft_mats(block)
-    n2 = 2 * block
-    inv_full = np.concatenate(
-        [np.fft.irfft(np.eye(k), n=n2), np.fft.irfft(1j * np.eye(k), n=n2)],
-        axis=0,
-    ).astype(np.float32)
-    fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
+    s1_consts = bl.stage1_consts(block)
 
-    def plain_np(c):
-        return list(prec.split_hi_lo(c))
-
-    def k1_np(c):
-        return [*prec.split_hi_lo(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
-
-    s1_consts = (
-        plain_np(fwd[:, :k].T)
-        + plain_np(fwd[:, k:].T)
-        + k1_np(inv_tail[:k, :].T)
-        + k1_np(inv_tail[k:, :].T)
-        + plain_np(fwd_tail[:, :k].T)
-        + plain_np(fwd_tail[:, k:].T)
-        + k1_np(inv_full[:k, :block].T)
-        + k1_np(inv_full[k:, :block].T)
-        + plain_np(fwd_head[:, :k].T)
-        + plain_np(fwd_head[:, k:].T)
-    )
-
-    # stage-2 constants (pallas_stage2 layout; params/erb are traced)
-    analysis, synthesis = stft_mod._bases(scfg)
-    analysis = analysis.astype(np.float32)
-    synthesis = synthesis.astype(np.float32)
-
-    def split(m):
-        m = jnp.asarray(m, jnp.float32)
-        hi = m.astype(jnp.bfloat16)
-        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return [hi, lo]
-
-    def k1_t(c):
-        return [*split(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
-
-    erb_f = jnp.asarray(erb, jnp.float32)
-    gru = params["gru"]
-    s2_consts = (
-        split(analysis[:, :k].T)
-        + split(analysis[:, k:].T)
-        + k1_t(synthesis[:k, :].T)
-        + k1_t(synthesis[k:, :].T)
-        + split(erb_f.T)
-        + split(erb_f)
-        + split(jnp.asarray(gru["w_ih"], jnp.float32))
-        + split(jnp.asarray(gru["w_hh"], jnp.float32))
-        + split(jnp.asarray(params["lin1"]["w"], jnp.float32))
-        + split(jnp.asarray(params["lin2"]["w"], jnp.float32))
-    )
-    w2 = periodic_window(scfg.win_type, scfg.win_len) ** 2
-    inv_env = (1.0 / (w2[:hop] + w2[hop:] + 1e-8)).astype(np.float32)
-    vecs = [
-        jnp.asarray(gru["b_ih"], jnp.float32)[:, None],
-        jnp.asarray(gru["b_hh"], jnp.float32)[:, None],
-        jnp.asarray(params["lin1"]["b"], jnp.float32)[:, None],
-        jnp.asarray(params["lin2"]["b"], jnp.float32)[:, None],
-        jnp.asarray(inv_env[:, None]),
-    ]
+    s2_consts = bl.stage2_consts(params, erb, scfg)
+    vecs = bl.stage2_vecs(params, scfg)
 
     step = pl.BlockSpec(
         (1, 1, hop, tile), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM

@@ -164,6 +164,39 @@ def test_kalman_fused_batched_bl_matches_scan(rng):
         assert abs(e_m - e_w) < 0.5, (i, e_m, e_w)
 
 
+def test_fused_unroll_padding_path(rng):
+    """Odd block counts exercise the t-padding branches at unroll > 1 in
+    both the single-stream and batched kernels (trim after reshape; padded
+    steps must not corrupt state ordering)."""
+    from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
+
+    cfg = KalmanConfig()
+    n = 13 * 256  # 13 blocks: not a multiple of unroll 4 or 2
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(200) / 40.0) * rng.standard_normal(200)).astype(
+        np.float32
+    )
+    mic = np.convolve(far, 0.4 * rir)[:n].astype(np.float32)
+    want = np.asarray(
+        kalman_cancel(cfg, jnp.asarray(far), jnp.asarray(mic), fused=False)["wav"]
+    )
+    got = np.asarray(
+        kalman_cancel_fused(
+            cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True,
+            unroll=4, dot_mode="high",
+        )["wav"]
+    )
+    scale = max(float(np.abs(want).max()), 1e-9)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale)
+    got_b = np.asarray(
+        kalman_cancel_fused_batched_bl(
+            cfg, jnp.asarray(far)[None], jnp.asarray(mic)[None],
+            interpret=True, tile=1, unroll=2, dot_mode="high",
+        )["wav"][0]
+    )
+    np.testing.assert_allclose(got_b, want, atol=2e-4 * scale)
+
+
 def test_nlms_fused_batched_bl_matches_scan(rng):
     """Batch-in-lanes batched NLMS kernel == scan (interpret, dot_mode=high)."""
     from aec_tpu.configs import NlmsConfig
