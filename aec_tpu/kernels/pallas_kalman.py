@@ -32,19 +32,18 @@ method, all same-process A/Bs):
   (257 -> 384) on every K-shaped op and 25% (514 -> 640) on every ri op,
   and is NOT matmul-bound (bf16 vs f32 dot operands measure identical).
 - `kalman_filter_fused_batched_bl` (batch AND partitions in LANES, bins in
-  sublanes, factored constraint — see its docstring) removes the padding
-  and reaches PARITY with the scan: 21.2 ms vs 21.1 ms at mixed,
-  ERLE-identical on chip. An intermediate 3D-state variant with
-  per-partition (K, tile) matmuls measured 22.6 ms — the 4*L narrow
-  (K,K)@(K,128) ops per step are latency-bound; batching them into 4 wide
-  N=L*tile matmuls recovered the difference.
-- Component slopes: the shared far-end analysis STFT was 9.2 ms of the
-  21 ms path at HIGHEST before its default moved to HIGH
-  (overlap_save._SPECTRA_DEFAULT); the scan's remaining ~12 ms is
-  elementwise/carry-bound, which is also the kernel's floor — XLA's
-  big-batch fusion is already near the VPU/HBM roofline here, so the
-  batched kernels stay documented alternatives and `kalman_cancel` keeps
-  the scan for batched inputs.
+  sublanes, factored constraint — see its docstring) removes the padding.
+  Built up in three measured steps: (a) a 3D-state variant with 4*L narrow
+  per-partition (K,K)@(K,128) matmuls per step, 22.6 ms (latency-bound);
+  (b) flattening partitions into lanes -> 4 wide N=L*tile matmuls, 21.2 ms
+  (scan parity); (c) fusing the far-frame analysis STFT IN-kernel (the XLA
+  spectra pass was 9.2 ms at HIGHEST / 6.4 at HIGH, plus a 538 MB frames
+  materialization and a 269 MB layout transpose) and splitting the K=257
+  contractions via the Nyquist rank-1 trick (precision.dot_*_lhs_k1):
+  **12.4 ms vs 20.2 ms for the scan at mixed — the PRODUCTION batched
+  path**, auto-routed by `kalman_cancel` for all default TPU calls and
+  ERLE-identical to the scan within 0.13 dB on chip. Wins at batch 16
+  (4.5 vs 6.4 ms) and 64 (1.8 vs 3.2 ms) too.
 
 Quality per dot_mode is measured in benchmarks/validate_precision.py:
 "high" == Precision.HIGH == fp32 ERLE; "mixed" == -0.16 dB worst case;
