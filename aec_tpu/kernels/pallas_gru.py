@@ -138,21 +138,25 @@ def _gru_scan_fused_fwd(
     return ys.astype(x.dtype), ys[:, -1].astype(x.dtype)
 
 
-@jax.custom_vjp
-def gru_scan_fused(params, x, h0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gru_scan_fused(params, x, h0, interpret=False):
     """Fused-kernel GRU scan: ``[B, T, I] -> ([B, T, H], h_T)``.
 
     Differentiable: the backward pass recomputes through the plain
     ``lax.scan`` formulation (ops/gru.py), whose VJP XLA generates.
+    ``interpret=True`` runs the kernel under the Pallas interpreter so an
+    explicit ``gru_scan(fused=True)`` works off-TPU (ops/gru.py routes it).
     """
-    return _gru_scan_fused_fwd(params, x, h0)
+    return _gru_scan_fused_fwd(params, x, h0, interpret=interpret)
 
 
-def _fwd(params, x, h0):
-    return _gru_scan_fused_fwd(params, x, h0), (params, x, h0)
+def _fwd(params, x, h0, interpret):
+    return _gru_scan_fused_fwd(params, x, h0, interpret=interpret), (
+        params, x, h0,
+    )
 
 
-def _bwd(res, g):
+def _bwd(interpret, res, g):
     from aec_tpu.ops import gru as gru_mod
 
     params, x, h0 = res

@@ -148,16 +148,29 @@ def kalman_cancel(
     constrain: bool = True,
     precision=None,
     fused: bool | None = None,
+    quality: str = "parity",
 ) -> dict[str, jax.Array]:
     """Waveform in/out canceller (BASELINE config #2). [n] or [B, n].
 
-    ``precision``: default is per-op MIXED precision — the
-    cancellation-critical y matmul at Precision.HIGH, the residual/update
-    matmuls at DEFAULT (see overlap_save._STAGE1_DEFAULT for the measured
-    quality/speed table: -0.16 dB tail-ERLE worst case, only on scenes
-    already >40 dB ERLE, at 1.58x batched throughput vs all-HIGH). Pass a
-    single Precision (HIGH/HIGHEST) for parity-grade runs, or a
-    ``(p_y, p_e, p_constrain)`` tuple for custom splits.
+    ``quality`` names the north-star ERLE budget (BASELINE.md: <= 0.1 dB
+    deviation vs the fp32 reference pipeline) as a first-class contract:
+
+    - ``"parity"`` (DEFAULT): every cancellation-relevant matmul runs in a
+      >= bf16_3x decomposition — fused kernels at ``dot_mode="high"``, the
+      XLA scan at ``Precision.HIGH``. Measured ERLE-identical (+-0.00 dB)
+      to the fp32 oracle on every scene in benchmarks/validate_precision.py,
+      i.e. provably inside the budget.
+    - ``"fast"``: per-op MIXED precision — the cancellation-critical y
+      matmul stays HIGH, residual/update drop to single-pass bf16
+      (overlap_save._STAGE1_DEFAULT; fused ``dot_mode="mixed"``). Measured
+      -0.16 dB tail-ERLE worst case, ONLY on scenes already >40 dB ERLE,
+      for ~1.2-1.3x throughput — outside the strict budget, so it is the
+      opt-in mode.
+
+    An explicit ``precision`` overrides the knob on the scan path: a single
+    Precision (HIGH/HIGHEST) applies end-to-end (analysis STFT included —
+    overlap_save.spectra_precision_for), or pass a ``(p_y, p_e,
+    p_constrain)`` tuple for custom splits.
 
     ``fused``: run the whole recursion as ONE Pallas TPU kernel with the
     filter state resident in VMEM (kernels/pallas_kalman.py) — measured
@@ -171,27 +184,36 @@ def kalman_cancel(
     for any input shape. The fused paths return ``state=None`` (resumable
     streaming keeps the scan via kalman_filter/kalman_step).
     """
+    if quality not in ("parity", "fast"):
+        raise ValueError(f"quality must be 'parity' or 'fast', got {quality!r}")
     if fused is None:
         fused = (
             constrain and precision is None and jax.default_backend() == "tpu"
         )
     if fused:
+        dot_mode = "high" if quality == "parity" else "mixed"
         if far.ndim == 1:
             from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused
 
-            out = kalman_cancel_fused(cfg, far, mic, block=block)
+            out = kalman_cancel_fused(cfg, far, mic, block=block, dot_mode=dot_mode)
         else:
             from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
 
-            out = kalman_cancel_fused_batched_bl(cfg, far, mic, block=block)
+            out = kalman_cancel_fused_batched_bl(
+                cfg, far, mic, block=block, dot_mode=dot_mode
+            )
         return {"wav": out["wav"], "state": None}
+    if precision is None and quality == "parity":
+        precision = jax.lax.Precision.HIGH
     batched = far.ndim == 2
     if not batched:
         far, mic = far[None], mic[None]
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
-    x_spec = ols.far_end_spectra(farp, block)
+    x_spec = ols.far_end_spectra(
+        farp, block, ols.spectra_precision_for(precision)
+    )
     d_blocks = ols.mic_blocks(micp, block)
 
     e_blocks, state = jax.vmap(

@@ -121,18 +121,22 @@ def nlms_cancel(
     constrain: bool = True,
     precision=None,
     fused: bool | None = None,
+    quality: str = "parity",
 ) -> dict[str, jax.Array]:
     """Waveform in/out single-pair canceller (BASELINE config #1).
 
     ``far``/``mic``: [n] or [B, n]. Returns echo-cancelled ``wav`` (same
     length as input) plus the final filter state under ``state``.
 
-    ``precision``: DFT-matmul precision; default is per-op MIXED — the
-    cancellation-critical y matmul at Precision.HIGH, residual/update at
-    DEFAULT (overlap_save._STAGE1_DEFAULT documents the measured table on
-    the Kalman sibling: -0.16 dB tail-ERLE worst case, only on >40 dB-ERLE
-    scenes, at 1.58x batched throughput vs all-HIGH). Accepts a single
-    Precision or a ``(p_y, p_e, p_constrain)`` tuple.
+    ``quality``: the north-star <=0.1 dB ERLE budget as a named contract —
+    ``"parity"`` (DEFAULT) keeps every cancellation-relevant matmul at
+    >= bf16_3x (fused ``dot_mode="high"`` / scan ``Precision.HIGH``;
+    measured ERLE-identical to the fp32 oracle on every scene), ``"fast"``
+    opts into per-op MIXED precision (-0.16 dB tail-ERLE worst case, only
+    on >40 dB-ERLE scenes, ~1.2-1.3x faster). See kalman.kalman_cancel for
+    the full table; an explicit ``precision`` (single Precision applied
+    end-to-end incl. the analysis STFT, or a ``(p_y, p_e, p_constrain)``
+    tuple) overrides the knob on the scan path.
 
     ``fused``: whole recursion as one Pallas TPU kernel, VMEM-resident state
     (kernels/pallas_nlms.py; same design that made the Kalman single-stream
@@ -141,27 +145,36 @@ def nlms_cancel(
     at default constrain/precision for any shape. Fused returns
     ``state=None`` (resumable streaming keeps the scan via nlms_filter).
     """
+    if quality not in ("parity", "fast"):
+        raise ValueError(f"quality must be 'parity' or 'fast', got {quality!r}")
     if fused is None:
         fused = (
             constrain and precision is None and jax.default_backend() == "tpu"
         )
     if fused:
+        dot_mode = "high" if quality == "parity" else "mixed"
         if far.ndim == 1:
             from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused
 
-            out = nlms_cancel_fused(cfg, far, mic, block=block)
+            out = nlms_cancel_fused(cfg, far, mic, block=block, dot_mode=dot_mode)
         else:
             from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused_batched_bl
 
-            out = nlms_cancel_fused_batched_bl(cfg, far, mic, block=block)
+            out = nlms_cancel_fused_batched_bl(
+                cfg, far, mic, block=block, dot_mode=dot_mode
+            )
         return {"wav": out["wav"], "state": None}
+    if precision is None and quality == "parity":
+        precision = jax.lax.Precision.HIGH
     batched = far.ndim == 2
     if not batched:
         far, mic = far[None], mic[None]
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
-    x_spec = ols.far_end_spectra(farp, block)  # [B, T, 2K]
+    x_spec = ols.far_end_spectra(
+        farp, block, ols.spectra_precision_for(precision)
+    )  # [B, T, 2K]
     d_blocks = ols.mic_blocks(micp, block)  # [B, T, Bk]
 
     e_blocks, state = jax.vmap(

@@ -82,6 +82,23 @@ def _dft_mats(block: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def spectra_precision_for(precision):
+    """Analysis-STFT precision implied by a stage-1 ``precision`` argument.
+
+    ``None`` (library default) keeps the measured-quality-free
+    ``_SPECTRA_DEFAULT`` (HIGH). A single ``jax.lax.Precision`` applies
+    end-to-end — ``precision=HIGHEST`` really is an all-fp32 path, analysis
+    STFT included. A per-op ``(p_y, p_e, p_constrain)`` tuple maps the
+    analysis STFT to ``p_y``: X feeds the cancellation-critical y product,
+    so the two share a quality class (overlap_save module docstring).
+    """
+    if precision is None:
+        return _SPECTRA_DEFAULT
+    if isinstance(precision, tuple):
+        return precision[0]
+    return precision
+
+
 def ri_split(x_ri: jax.Array) -> tuple[jax.Array, jax.Array]:
     """[..., 2K] -> ([..., K], [..., K]) real/imag halves."""
     k = x_ri.shape[-1] // 2

@@ -109,7 +109,12 @@ def gru_scan(
     if fused:
         from aec_tpu.kernels.pallas_gru import gru_scan_fused
 
-        return gru_scan_fused(params, x, h0)
+        # off-TPU an explicit fused=True runs the kernel in interpret mode
+        # (the Pallas TPU lowering is unavailable there); numerics match the
+        # compiled kernel — tests/test_pallas_gru.py uses the same mode
+        return gru_scan_fused(
+            params, x, h0, jax.default_backend() != "tpu"
+        )
     x_proj = jnp.matmul(x, params["w_ih"].T) + params["b_ih"]  # [B, T, 3H]
 
     def step(h, xp_t):

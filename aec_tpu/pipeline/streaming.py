@@ -148,22 +148,30 @@ def _stream_step_core(
     stage1: str,
     lin_cfg,
     normalize: bool = False,
+    quality: str = "parity",
 ) -> tuple[StreamState, jax.Array]:
     # Stage 1 (causal, block-native). Far frame -> ri spectrum via the DFT
-    # basis matmul (overlap_save).
+    # basis matmul (overlap_save). ``quality`` is the same north-star knob
+    # as the offline cancellers (linear/kalman.kalman_cancel): "parity"
+    # (default) runs the step matmuls at Precision.HIGH (ERLE-identical to
+    # fp32), "fast" at the per-op MIXED default (-0.16 dB worst case,
+    # ~1.4x serving throughput — benchmarks 'concurrent_streams').
+    prec = jax.lax.Precision.HIGH if quality == "parity" else None
     if stage1 == "kalman":
         x_t = ols.frame_to_spectrum(
             jnp.concatenate([state["prev_far"], far_block]), cfg.hop
         )
         s1, lin_block = kalman_step(
-            lin_cfg or KalmanConfig(), state["stage1"], x_t, mic_block, block=cfg.hop
+            lin_cfg or KalmanConfig(), state["stage1"], x_t, mic_block,
+            block=cfg.hop, precision=prec,
         )
     elif stage1 == "nlms":
         x_t = ols.frame_to_spectrum(
             jnp.concatenate([state["prev_far"], far_block]), cfg.hop
         )
         s1, lin_block = nlms_step(
-            lin_cfg or NlmsConfig(), state["stage1"], x_t, mic_block, block=cfg.hop
+            lin_cfg or NlmsConfig(), state["stage1"], x_t, mic_block,
+            block=cfg.hop, precision=prec,
         )
     else:
         s1, lin_block = state["stage1"], mic_block
@@ -206,7 +214,7 @@ def _stream_step_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize")
+    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize", "quality")
 )
 def stream_step(
     params: LittleNetParams,
@@ -219,6 +227,7 @@ def stream_step(
     stage1: Literal["kalman", "nlms", "none"] = "kalman",
     lin_cfg=None,
     normalize: bool = False,
+    quality: str = "parity",
 ) -> tuple[StreamState, jax.Array]:
     """Consume one hop of far/mic; emit one hop of enhanced audio.
 
@@ -235,7 +244,7 @@ def stream_step(
     )
     new_state, out = jax.vmap(
         lambda s, f, m: _stream_step_core(
-            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize
+            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize, quality
         )
     )(state1, far1, mic1)
     return jax.tree.map(lambda a: a[0], new_state), out[0]
@@ -289,7 +298,7 @@ def stream_init_batched(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize")
+    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize", "quality")
 )
 def stream_step_batched(
     params: LittleNetParams,
@@ -302,17 +311,20 @@ def stream_step_batched(
     stage1: Literal["kalman", "nlms", "none"] = "kalman",
     lin_cfg=None,
     normalize: bool = False,
+    quality: str = "parity",
 ) -> tuple[StreamState, jax.Array]:
     """One 16 ms hop for MANY concurrent streams (the serving hot loop).
 
     vmap over the stream axis: every per-stream filter state, GRU state and
     OLA tail advances in parallel — one device program per audio block,
     thousands of live calls per chip (see benchmarks/baseline_configs.py
-    'concurrent_streams').
+    'concurrent_streams'). ``quality`` as in stream_step: "parity"
+    (default) keeps stage-1 inside the <=0.1 dB ERLE budget; "fast" trades
+    -0.16 dB worst-case tail ERLE for ~1.4x serving throughput.
     """
     return jax.vmap(
         lambda s, f, m: _stream_step_core(
-            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize
+            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize, quality
         )
     )(state, far_block, mic_block)
 
@@ -328,6 +340,7 @@ def stream_run(
     lin_cfg=None,
     erb_bands: int = 32,
     normalize: bool = False,
+    quality: str = "parity",
 ) -> np.ndarray:
     """Host convenience: run a whole utterance hop-by-hop (n % hop == 0)."""
     state = stream_init(erb_bands, cfg, stage1=stage1, lin_cfg=lin_cfg)
@@ -343,6 +356,7 @@ def stream_run(
             stage1=stage1,
             lin_cfg=lin_cfg,
             normalize=normalize,
+            quality=quality,
         )
         outs.append(np.asarray(out))
     outs.append(np.asarray(stream_flush(params, state, erb, cfg, normalize=normalize)))

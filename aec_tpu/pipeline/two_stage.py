@@ -25,7 +25,8 @@ from aec_tpu.models.little_net import LittleNetParams, little_net_apply
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "stage1", "scfg", "lin_cfg", "normalize", "fast", "stage2_precision"
+        "stage1", "scfg", "lin_cfg", "normalize", "fast", "stage2_precision",
+        "quality",
     ),
 )
 def two_stage_cancel(
@@ -40,6 +41,7 @@ def two_stage_cancel(
     normalize: bool = False,
     fast: bool = False,
     stage2_precision=jax.lax.Precision.DEFAULT,
+    quality: str = "parity",
 ) -> dict[str, jax.Array]:
     """far/mic wav [n] or [B, n] -> enhanced wav (same shape).
 
@@ -50,30 +52,39 @@ def two_stage_cancel(
     Precision policy (production defaults; benchmarks/validate_precision.py
     has the v5e measurements):
 
-    - stage-1 runs the library default per-op MIXED precision (the
-      cancellation-critical y matmul at HIGH; -0.16 dB tail-ERLE worst case,
-      only on scenes already >40 dB ERLE — overlap_save._STAGE1_DEFAULT);
+    - ``quality`` names the north-star <=0.1 dB ERLE budget for stage-1:
+      ``"parity"`` (DEFAULT) keeps every cancellation-relevant matmul at
+      >= bf16_3x (fused kernels ``dot_mode="high"`` / scan
+      ``Precision.HIGH``; measured ERLE-identical to the fp32 oracle on
+      every scene), ``"fast"`` opts into per-op MIXED precision (-0.16 dB
+      tail-ERLE worst case, only on scenes already >40 dB ERLE, ~1.2-1.3x
+      faster). See linear/kalman.kalman_cancel.
     - stage-2 STFT/iSTFT run at ``stage2_precision`` = single-pass bf16 MXU
       by default: the enhanced waveform differs from HIGHEST by -50.9 dB SNR
-      while the apply runs 2.0x faster (19.9 -> 9.85 ms at batch 256). Pass
-      ``stage2_precision=None`` for parity-grade HIGHEST.
-    - ``fast=True`` forces BOTH stages all-DEFAULT (stage-1 then loses up to
-      1.45 dB tail-ERLE on >40 dB-ERLE scenes; 0.00 dB on double-talk and
-      path-change).
+      while the apply runs 2.0x faster (19.9 -> 9.85 ms at batch 256) — the
+      post-filter is not cancellation-critical, so this sits inside the
+      budget at either ``quality``. Pass ``stage2_precision=None`` for
+      parity-grade HIGHEST.
+    - ``fast=True`` (legacy, overrides ``quality``) forces BOTH stages
+      all-DEFAULT (stage-1 then loses up to 1.45 dB tail-ERLE on
+      >40 dB-ERLE scenes; 0.00 dB on double-talk and path-change).
 
     Returns dict with ``wav`` (final), ``linear_wav`` (stage-1 output), and
     the stage-2 ``mask``.
     """
     precision = jax.lax.Precision.DEFAULT if fast else None
     p2 = jax.lax.Precision.DEFAULT if fast else stage2_precision
+    q1 = "fast" if fast else quality
     if stage1 == "kalman":
         lin = kalman_cancel(
-            lin_cfg or KalmanConfig(), far, mic, block=scfg.hop, precision=precision
+            lin_cfg or KalmanConfig(), far, mic, block=scfg.hop,
+            precision=precision, quality=q1,
         )
         linear_wav = lin["wav"]
     elif stage1 == "nlms":
         lin = nlms_cancel(
-            lin_cfg or NlmsConfig(), far, mic, block=scfg.hop, precision=precision
+            lin_cfg or NlmsConfig(), far, mic, block=scfg.hop,
+            precision=precision, quality=q1,
         )
         linear_wav = lin["wav"]
     else:
@@ -91,6 +102,11 @@ def two_stage_cancel(
         jax.default_backend() == "tpu"
         and p2 == jax.lax.Precision.DEFAULT
         and lw.shape[-1] % scfg.hop == 0
+        # the fused kernel assumes the default 2x-overlap geometry; other
+        # StftConfigs fall back to the XLA apply instead of shape-erroring
+        # inside the Pallas trace
+        and scfg.win_len == 2 * scfg.hop
+        and scfg.fft_len == scfg.win_len
     ):
         from aec_tpu.kernels.pallas_stage2 import little_net_apply_fused_wav
 

@@ -47,7 +47,7 @@ def test_custom_bwd_matches_scan_vjp():
 
     _, vjp = jax.vjp(lambda *a: gru_scan(*a, fused=False), params, x, h0)
     want = vjp(g)
-    got = _bwd((params, x, h0), g)
+    got = _bwd(False, (params, x, h0), g)  # interpret is a nondiff argnum
     for w, got_leaf in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_allclose(
             np.asarray(got_leaf), np.asarray(w), rtol=1e-5, atol=1e-6
