@@ -454,6 +454,169 @@ def test_reference_tester_driver_end_to_end(ref, rng, tmp_path, monkeypatch):
         np.testing.assert_array_equal(a[:mm], b[:mm])
 
 
+def _echo_scene(rng, n=8192, batch=2):
+    """A scene with real echo structure so the loss/gradients are exercised
+    on signals in the training distribution's shape (far -> RIR -> echo).
+
+    Speech-like amplitudes (|x| ~ 0.1) matter here: on hot unit-variance
+    inputs the reference's own ``est_erb ** 0.5`` backward produces NaN when
+    the sigmoid mask underflows to exactly 0 (d sqrt/dx = inf at 0) — BOTH
+    the executed reference and our sqrt_eps=0 parity mode NaN on the same
+    batch (measured), which is precisely the hazard the production
+    ``sqrt_eps=1e-12`` divergence guards (little_net.little_net_loss)."""
+    far = (0.1 * rng.standard_normal((batch, n))).astype(np.float32)
+    rir = (np.exp(-np.arange(256) / 60.0) * rng.standard_normal(256)).astype(
+        np.float32
+    )
+    echo = np.stack(
+        [np.convolve(far[b], 0.4 * rir)[:n] for b in range(batch)]
+    ).astype(np.float32)
+    near = (0.02 * rng.standard_normal((batch, n))).astype(np.float32)
+    return near + echo, far, near
+
+
+def _torch_grads(net) -> dict[str, np.ndarray]:
+    return {
+        name: p.grad.detach().numpy().copy()
+        for name, p in net.named_parameters()
+        if p.grad is not None
+    }
+
+
+def test_little_net_gradient_parity(ref, rng):
+    """BACKWARD parity vs the executed reference: the reference's actual
+    ``loss.backward()`` (train1.py:208-211, loss at ERB.py:318-323) and our
+    ``jax.grad`` of little_net_loss produce the same per-parameter gradients
+    (<= 1e-4 rel) from shared weights and one identical batch. The export
+    map is per-tensor identity, so it transports gradients unchanged."""
+    ref_erb_mod, _, _ = ref
+    params = little_net_init(jax.random.PRNGKey(123))
+    sd = {k: _t(v) for k, v in state_dict_from_little_net_params(params).items()}
+    net = ref_erb_mod.Little_net({"win_size": 512, "hop_size": 256}, 32)
+    net.load_state_dict(sd, strict=False)
+    net.train()
+
+    erb32 = erb_filterbank(257, 16000, 32, 0, 8000)
+    mic, far, near = _echo_scene(rng)
+
+    _, loss_t = net(_t(mic), _t(far), _t(near), _t(erb32))
+    loss_t.backward()
+    want = _torch_grads(net)
+
+    def lf(p):
+        return little_net_loss(
+            p, jnp.asarray(mic), jnp.asarray(far), jnp.asarray(near),
+            jnp.asarray(erb32), sqrt_eps=0.0,  # exact reference loss math
+        )[0]
+
+    loss_j, grads = jax.value_and_grad(lf)(params)
+    assert abs(float(loss_j) - float(loss_t)) <= 1e-5 * abs(float(loss_t))
+    got = state_dict_from_little_net_params(grads, include_dsp_buffers=False)
+    assert set(got) == set(want)
+    for k in want:
+        r = _rel(got[k], want[k])
+        assert r < 1e-4, f"gradient mismatch for {k}: rel={r:.2e}"
+
+
+def test_little_net_training_trajectory_parity(ref, rng):
+    """OPTIMIZER parity vs the executed reference train step: 8 Adam(lr=1e-5)
+    steps (train1.py:155,208-218, with grads zeroed both sides — the
+    documented zero_grad divergence controlled away) track the reference's
+    loss trajectory and land on the same weights (<= 1e-4 rel)."""
+    import torch.optim as topt
+
+    from aec_tpu.configs import TrainConfig
+    from aec_tpu.train.loop import make_optimizer, make_train_step
+
+    ref_erb_mod, _, _ = ref
+    params = little_net_init(jax.random.PRNGKey(77))
+    sd = {k: _t(v) for k, v in state_dict_from_little_net_params(params).items()}
+    net = ref_erb_mod.Little_net({"win_size": 512, "hop_size": 256}, 32)
+    net.load_state_dict(sd, strict=False)
+    net.train()
+
+    erb32 = erb_filterbank(257, 16000, 32, 0, 8000)
+    erb_j = jnp.asarray(erb32)
+    batches = [_echo_scene(rng, n=4096, batch=2) for _ in range(4)]
+
+    # --- reference side: its exact optimizer construction + step order ---
+    optimizer = topt.Adam(net.parameters(), lr=1e-5)  # train1.py:155
+    torch_losses = []
+    for step_i in range(8):
+        mic, far, near = batches[step_i % len(batches)]
+        optimizer.zero_grad()
+        _, loss = net(_t(mic), _t(far), _t(near), _t(erb32))
+        loss.backward()  # train1.py:211
+        optimizer.step()  # train1.py:218
+        torch_losses.append(float(loss))
+
+    # --- our side: the production train step (sqrt_eps=0 for exact math) ---
+    cfg = TrainConfig(batch_size=2)
+    opt = make_optimizer(cfg, steps_per_epoch=10_000)  # lr stays 1e-5
+    opt_state = opt.init(params)
+    train_step = make_train_step(little_net_loss, opt, sqrt_eps=0.0)
+    our_losses = []
+    p = params
+    for step_i in range(8):
+        mic, far, near = batches[step_i % len(batches)]
+        p, opt_state, loss = train_step(
+            p, opt_state, jnp.asarray(mic), jnp.asarray(far),
+            jnp.asarray(near), erb_j,
+        )
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-4)
+    # the trained weights coincide — optimizer math (bias-corrected Adam,
+    # eps outside the sqrt) matches torch step for step
+    final_ref = {
+        name: prm.detach().numpy() for name, prm in net.named_parameters()
+    }
+    final_ours = state_dict_from_little_net_params(p, include_dsp_buffers=False)
+    for k, want in final_ref.items():
+        r = _rel(final_ours[k], want)
+        assert r < 1e-4, f"trained weight drift for {k}: rel={r:.2e}"
+
+
+def test_reference_no_zero_grad_divergence(ref, rng):
+    """Characterize the documented divergence (SURVEY §2.4.4): the reference
+    never calls optimizer.zero_grad() (train1.py:204-218), so its gradients
+    accumulate across iterations and its trajectory departs from the zeroed
+    one our trainer implements. This pins the divergence as REAL (not a
+    transcription accident) and measurable."""
+    import torch.optim as topt
+
+    ref_erb_mod, _, _ = ref
+    erb32 = erb_filterbank(257, 16000, 32, 0, 8000)
+    batches = [_echo_scene(rng, n=4096, batch=2) for _ in range(3)]
+
+    def run(zero_grad: bool):
+        torch.manual_seed(0)
+        params = little_net_init(jax.random.PRNGKey(77))
+        sd = {
+            k: _t(v)
+            for k, v in state_dict_from_little_net_params(params).items()
+        }
+        net = ref_erb_mod.Little_net({"win_size": 512, "hop_size": 256}, 32)
+        net.load_state_dict(sd, strict=False)
+        net.train()
+        optimizer = topt.Adam(net.parameters(), lr=1e-5)
+        losses = []
+        for step_i in range(6):
+            mic, far, near = batches[step_i % len(batches)]
+            if zero_grad:
+                optimizer.zero_grad()
+            _, loss = net(_t(mic), _t(far), _t(near), _t(erb32))
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss))
+        return np.asarray(losses)
+
+    zeroed, accumulated = run(True), run(False)
+    assert np.allclose(zeroed[:1], accumulated[:1])  # identical first step
+    # accumulation changes the trajectory measurably after a few steps
+    assert np.abs(zeroed[2:] - accumulated[2:]).max() > 1e-6
+
+
 def test_countframes_formula_parity():
     """utils/tools.py:30-32 countFrames — loaded from file to dodge the
     torch_compat 'utils.tools' pickle stub that may occupy sys.modules."""
