@@ -66,8 +66,22 @@ class NlmsConfig:
 
     n_blocks: int = 10  # far-end history partitions (filter taps per bin)
     mu: float = 0.5  # step size
-    eps: float = 1e-6  # regularizer in the normalized update
+    eps: float = 1e-6  # absolute regularizer in the normalized update
     power_smooth: float = 0.9  # smoothing of the per-bin far-end power
+    # Robustness terms (round-3; measured on the 8-scene battery in
+    # benchmarks/scenes.py at 8 s, tail ERLE vs the classic eps-only update):
+    #   den = power + eps + eps_rel*mean_k(power) + beta*psi(|E|^2)
+    # - eps_rel protects near-silent bins of HARMONIC far-ends (between
+    #   partials / syllabic pauses the classic update divides by ~0 power and
+    #   injects energy: speech_far -36 dB, nonlinear -14 dB tail ERLE);
+    # - beta (error-power step control, the same psi term the Kalman carries)
+    #   freezes adaptation under near-end activity: speech double-talk
+    #   +3.3 -> +10.6 dB, speech_far -> +33 dB, and white-noise scenes
+    #   IMPROVE too (echo_only 73 -> 88 dB); path-change reconvergence pays
+    #   ~5 dB. Set eps_rel=0, beta=0 for the classic textbook NLMS.
+    eps_rel: float = 0.1  # regularization relative to broadband far power
+    beta: float = 1.0  # error-power (double-talk) step control
+    err_smooth: float = 0.5  # smoothing of the residual psd estimate psi
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,13 +31,14 @@ from aec_tpu.linear import overlap_save as ols
 
 def _kernel(cfg: NlmsConfig, k: int, block: int, unroll: int, dot_mode: str):
     ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
+    es, eps_rel, beta = cfg.err_smooth, cfg.eps_rel, cfg.beta
     # "mixed": only the cancellation-critical y transform runs bf16_3x
     # (see linear/kalman.kalman_step docstring); residual/update run 1-pass.
     dot_y = prec.dot_high if dot_mode in ("high", "mixed") else prec.dot_fast
     dot_r = prec.dot_high if dot_mode == "high" else prec.dot_fast
 
     def kernel(x_ref, d_ref, inv_hi, inv_lo, fwd_hi, fwd_lo, con_hi, con_lo,
-               e_ref, wr, wi, xb, power):
+               e_ref, wr, wi, xb, power, psi):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -46,6 +47,7 @@ def _kernel(cfg: NlmsConfig, k: int, block: int, unroll: int, dot_mode: str):
             wi[:] = jnp.zeros_like(wi)
             xb[:] = jnp.zeros_like(xb)
             power[:] = jnp.zeros_like(power)
+            psi[:] = jnp.zeros_like(psi)
 
         for u in range(unroll):
             # push newest far-frame spectrum into the ring buffer
@@ -67,9 +69,13 @@ def _kernel(cfg: NlmsConfig, k: int, block: int, unroll: int, dot_mode: str):
             e_ref[0, u : u + 1] = e_blk
             e_ri = dot_r(e_blk, fwd_hi, fwd_lo)
             er, ei = e_ri[:, :k], e_ri[:, k:]  # (1, K)
+            psi_new = es * psi[:] + (1.0 - es) * (er * er + ei * ei)
+            psi[:] = psi_new
 
-            # conj(X) E / power, constrained, applied with step size mu
-            inv_p = 1.0 / (p_new + eps)
+            # conj(X) E / den with the robustness terms (nlms.nlms_step)
+            inv_p = 1.0 / (
+                p_new + eps + eps_rel * jnp.mean(p_new) + beta * psi_new
+            )
             gr = (xr * er + xi * ei) * inv_p  # (L, K)
             gi = (xr * ei - xi * er) * inv_p
             grad = dot_r(jnp.concatenate([gr, gi], axis=1), con_hi, con_lo)  # (L, 2K)
@@ -131,6 +137,7 @@ def nlms_filter_fused(
             pltpu.VMEM((l, k), jnp.float32),  # wi
             pltpu.VMEM((l, two_k), jnp.float32),  # x ring buffer (ri)
             pltpu.VMEM((1, k), jnp.float32),  # smoothed power
+            pltpu.VMEM((1, k), jnp.float32),  # smoothed residual psd
         ],
         interpret=interpret,
     )(
@@ -183,6 +190,7 @@ def _kernel_batched_bl(
     analysis computed in-kernel from a one-block VMEM ring.
     """
     ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
+    es, eps_rel, beta = cfg.err_smooth, cfg.eps_rel, cfg.beta
     dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
     dot_x = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
     # K-contraction transforms: last (Nyquist) bin as an exact f32 rank-1
@@ -202,7 +210,7 @@ def _kernel_batched_bl(
                fr_hi, fr_lo, fi_hi, fi_lo,
                ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
                fbr_hi, fbr_lo, fbi_hi, fbi_lo,
-               e_ref, wr, wi, xbr, xbi, power, fprev):
+               e_ref, wr, wi, xbr, xbi, power, psi, fprev):
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -212,6 +220,7 @@ def _kernel_batched_bl(
             xbr[:] = jnp.zeros_like(xbr)
             xbi[:] = jnp.zeros_like(xbi)
             power[:] = jnp.zeros_like(power)
+            psi[:] = jnp.zeros_like(psi)
             fprev[:] = jnp.zeros_like(fprev)
 
         for u in range(unroll):
@@ -241,9 +250,16 @@ def _kernel_batched_bl(
             e_ref[0, 0, u] = e_blk
             er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
             ei = dot_r(fi_hi, fi_lo, e_blk)
+            psi_new = es * psi[:] + (1.0 - es) * (er * er + ei * ei)
+            psi[:] = psi_new
 
-            # conj(X) E / power, constrained (factored), step size mu
-            inv_p = 1.0 / (p_new + eps)
+            # conj(X) E / den, robustness terms incl. the broadband mean
+            # (over bins = over sublanes here), constrained (factored)
+            inv_p = 1.0 / (
+                p_new + eps
+                + eps_rel * jnp.mean(p_new, axis=0, keepdims=True)
+                + beta * psi_new
+            )
             er_p, ei_p = lbcast(er * inv_p), lbcast(ei * inv_p)
             gr = xr * er_p + xi * ei_p  # (K, L*tile)
             gi = xr * ei_p - xi * er_p
@@ -320,6 +336,7 @@ def nlms_filter_fused_batched_bl(
             pltpu.VMEM((k, l * tile), jnp.float32),  # xbr
             pltpu.VMEM((k, l * tile), jnp.float32),  # xbi
             pltpu.VMEM((k, tile), jnp.float32),  # smoothed power
+            pltpu.VMEM((k, tile), jnp.float32),  # smoothed residual psd
             pltpu.VMEM((block, tile), jnp.float32),  # fprev (far ring)
         ],
         interpret=interpret,

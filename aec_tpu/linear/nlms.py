@@ -18,7 +18,15 @@ algorithm (multidelay block frequency-domain adaptive filter, Soo & Pang
   utterance axis (embarrassingly parallel).
 
 Per bin k:  y[t,k] = sum_l W[l,k] X[t-l,k];   e = d - last_B(ifft(y))
-            W[l,k] += mu * conj(X[t-l,k]) * E[k] / (p[k] + eps)
+            den[k] = p[k] + eps + eps_rel*mean_k(p) + beta*psi[k]
+            W[l,k] += mu * conj(X[t-l,k]) * E[k] / den[k]
+
+The two extra denominator terms (vs the textbook MDF) are the round-3
+robustness defaults, measured on benchmarks/scenes.py (see NlmsConfig):
+``eps_rel`` regularizes near-silent bins of harmonic far-ends, ``beta``
+applies error-power step control under double talk — the same psi term the
+Kalman sibling carries natively. ``eps_rel=0, beta=0`` recovers the classic
+update.
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ class NlmsState(TypedDict):
     w: jax.Array  # (L, 2K) float32 ri — filter partitions per bin
     x_buf: jax.Array  # (L, 2K) float32 ri — far-end history, index 0 = newest
     power: jax.Array  # (K,) float32 — smoothed total far-end power
+    psi: jax.Array  # (K,) float32 — smoothed residual psd (step control)
 
 
 def nlms_init(cfg: NlmsConfig, n_freqs: int = 257, dtype=jnp.float32) -> NlmsState:
@@ -43,6 +52,7 @@ def nlms_init(cfg: NlmsConfig, n_freqs: int = 257, dtype=jnp.float32) -> NlmsSta
         w=jnp.zeros((cfg.n_blocks, 2 * n_freqs), dtype=dtype),
         x_buf=jnp.zeros((cfg.n_blocks, 2 * n_freqs), dtype=dtype),
         power=jnp.zeros((n_freqs,), dtype=dtype),
+        psi=jnp.zeros((n_freqs,), dtype=dtype),
     )
 
 
@@ -77,14 +87,19 @@ def nlms_step(
     e_block = d_t - ols.spectrum_to_block(y_ri, block, p_y)  # (B,)
     e_ri = ols.block_to_spectrum(e_block, block, p_e)  # (2K,)
     er, ei = ols.ri_split(e_ri)
+    psi = cfg.err_smooth * state["psi"] + (1.0 - cfg.err_smooth) * (
+        er * er + ei * ei
+    )
 
-    # conj(X) * E / power  (complex multiply with conjugated X, per partition)
-    inv_p = 1.0 / (power + cfg.eps)
+    # conj(X) * E / den  (complex multiply with conjugated X, per partition);
+    # den carries the robustness terms — see the module docstring
+    den = power + cfg.eps + cfg.eps_rel * jnp.mean(power) + cfg.beta * psi
+    inv_p = 1.0 / den
     grad = ols.ri_join((xr * er + xi * ei) * inv_p, (xr * ei - xi * er) * inv_p)
     if constrain:
         grad = ols.constrain_gradient(grad, block, p_c)
     w = state["w"] + cfg.mu * grad
-    return NlmsState(w=w, x_buf=x_buf, power=power), e_block
+    return NlmsState(w=w, x_buf=x_buf, power=power, psi=psi), e_block
 
 
 def nlms_filter(

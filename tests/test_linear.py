@@ -56,14 +56,23 @@ def test_kalman_converges_echo_only(rng):
     assert tail_erle > 30.0, f"Kalman tail ERLE too low: {tail_erle:.1f} dB"
 
 
-def test_kalman_at_least_matches_nlms_convergence(rng):
+def test_both_filters_converge_deep_on_stationary_echo(rng):
+    """Round-1 asserted kalman >= nlms - 3 dB; the round-3 NLMS robustness
+    terms (configs.NlmsConfig eps_rel/beta) made NLMS the DEEPER converger
+    on stationary scenes (88 vs 47 dB on the 8 s battery) — the Kalman's
+    steady state is capped by its process noise (1-a^2)|W|^2, the price of
+    its tracking ability (tests/test_scene_battery.py has the per-scene
+    relation). Here: both must converge deep, and the Kalman must still be
+    inside 25 dB of the NLMS (it cancels, not diverges)."""
     far, mic, _ = _echo_scene(rng)
     f, m = jnp.asarray(far), jnp.asarray(mic)
     e_n = nlms_cancel(NlmsConfig(), f, m)["wav"]
     e_k = kalman_cancel(KalmanConfig(), f, m)["wav"]
     seg_n = np.asarray(erle_segments(m, e_n, seg=16384))
     seg_k = np.asarray(erle_segments(m, e_k, seg=16384))
-    assert seg_k[-1] >= seg_n[-1] - 3.0
+    assert seg_k[-1] > 25.0, f"kalman final-seg ERLE {seg_k[-1]:.1f}"
+    assert seg_n[-1] > 25.0, f"nlms final-seg ERLE {seg_n[-1]:.1f}"
+    assert seg_k[-1] >= seg_n[-1] - 25.0
 
 
 def test_near_end_preserved_double_talk(rng):
