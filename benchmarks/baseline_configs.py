@@ -284,6 +284,182 @@ def bench_concurrent_streams(small=False) -> dict:
             "step_ms": round(step_s * 1e3, 3), "batch_streams": s}
 
 
+def bench_training(small=False) -> dict:
+    """Config #7 (round-3): on-chip TRAINING throughput, slope-timed.
+
+    k full SPMD train steps (value_and_grad + optax Adam update, the exact
+    math of train/loop.make_train_step) run INSIDE one program as a
+    ``lax.scan`` carrying (params, opt_state), each step consuming a
+    distinct batch — so the measured slope is pure device time per step,
+    matching the reference's per-batch timing intent (train1.py:204,
+    221-240, which instrumented batch_time but recorded no values).
+    Reports the reference config (batch 16, train_conf configs.py:10-19)
+    and a large-batch variant, plus one stateful (DCCRN, BatchNorm
+    running-stats) step time."""
+    import optax
+
+    from aec_tpu.configs import TrainConfig
+    from aec_tpu.train.loop import make_optimizer
+
+    erb = jnp.asarray(erb_filterbank())
+    rng = np.random.default_rng(6)
+    n = (8 * SR if not small else SR) // 256 * 256
+    out = {"metric": "train_step_per_chip", "unit": "steps_per_sec",
+           "vs_baseline": None}
+
+    from aec_tpu.models.little_net import little_net_loss
+
+    def measure_little(batch_size, counts):
+        cfg = TrainConfig(batch_size=batch_size)
+        opt = make_optimizer(cfg, steps_per_epoch=9_499 // batch_size or 1)
+        params = little_net_init(jax.random.PRNGKey(0))
+        opt_state = opt.init(params)
+
+        def run_k(p, s, batches):  # batches: (k, 3, B, n)
+            def body(carry, b):
+                p, s = carry
+
+                def lf(pp):
+                    return little_net_loss(
+                        pp, b[0], b[1], b[2], erb, sqrt_eps=1e-12
+                    )[0]
+
+                loss, g = jax.value_and_grad(lf)(p)
+                up, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, up), s), loss
+
+            (_, _), losses = jax.lax.scan(body, (p, s), batches)
+            return jnp.sum(losses)
+
+        fn = jax.jit(run_k)
+        meds = {}
+        for k in counts:
+            bufs = [
+                jnp.asarray(
+                    0.1 * rng.standard_normal((k, 3, batch_size, n)).astype(np.float32)
+                )
+                for _ in range(4)
+            ]
+            float(fn(params, opt_state, bufs[-1]))
+            ts = []
+            for b in bufs[:-1]:
+                t0 = time.perf_counter()
+                float(fn(params, opt_state, b))
+                ts.append(time.perf_counter() - t0)
+            meds[k] = float(np.median(ts))
+        k_lo, k_hi = counts
+        per_step = (meds[k_hi] - meds[k_lo]) / (k_hi - k_lo)
+        if per_step < 20e-6:
+            per_step = meds[k_hi] / k_hi
+        return per_step
+
+    counts = (2, 8) if not small else (1, 2)
+    b_ref = 16 if not small else 2
+    per_step = measure_little(b_ref, counts)
+    out["value"] = round(1.0 / per_step, 1)
+    out["batch"] = b_ref
+    out["step_ms"] = round(per_step * 1e3, 2)
+    out["train_xrt"] = round(b_ref * n / SR / per_step, 1)
+    b_big = 256 if not small else 4
+    per_big = measure_little(b_big, (1, 3) if not small else (1, 2))
+    out["large_batch"] = {
+        "batch": b_big, "step_ms": round(per_big * 1e3, 2),
+        "train_xrt": round(b_big * n / SR / per_big, 1),
+    }
+
+    # stateful family: one DCCRN train step (BatchNorm running stats carried)
+    import jax as _jax
+
+    from aec_tpu.models.dccrn import DccrnConfig, dccrn_init, dccrn_loss_v1
+
+    dcfg = DccrnConfig()
+    dparams, dstate = dccrn_init(_jax.random.PRNGKey(1), dcfg)
+    dn = (2 * SR if not small else SR // 2) // 256 * 256
+    db = 4 if not small else 1
+    dopt = optax.adam(1e-5)
+    dopt_state = dopt.init(dparams)
+
+    def run_k_dccrn(p, s, ms, batches):  # (k, 4, B, n)
+        def body(carry, b):
+            p, s, ms = carry
+
+            def lf(pp):
+                loss, aux = dccrn_loss_v1(
+                    pp, ms, b[0], b[1], b[2], b[3], dcfg, train=True
+                )
+                return loss, aux["state"]
+
+            (loss, ms), g = jax.value_and_grad(lf, has_aux=True)(p)
+            up, s = dopt.update(g, s, p)
+            return (optax.apply_updates(p, up), s, ms), loss
+
+        (_, _, _), losses = jax.lax.scan(body, (p, s, ms), batches)
+        return jnp.sum(losses)
+
+    fn = jax.jit(run_k_dccrn)
+    meds = {}
+    dcounts = (1, 3) if not small else (1, 2)
+    for k in dcounts:
+        bufs = [
+            jnp.asarray(0.1 * rng.standard_normal((k, 4, db, dn)).astype(np.float32))
+            for _ in range(3)
+        ]
+        float(fn(dparams, dopt_state, dstate, bufs[-1]))
+        ts = []
+        for b in bufs[:-1]:
+            t0 = time.perf_counter()
+            float(fn(dparams, dopt_state, dstate, b))
+            ts.append(time.perf_counter() - t0)
+        meds[k] = float(np.median(ts))
+    k_lo, k_hi = dcounts
+    per_d = (meds[k_hi] - meds[k_lo]) / (k_hi - k_lo)
+    if per_d < 20e-6:
+        per_d = meds[k_hi] / k_hi
+    out["dccrn_stateful"] = {
+        "batch": db, "utt_s": round(dn / SR, 2),
+        "step_ms": round(per_d * 1e3, 2),
+        "train_xrt": round(db * dn / SR / per_d, 1),
+    }
+    return out
+
+
+def bench_model_zoo(small=False) -> dict:
+    """Config #8 (round-3): single-utterance enhancement xRT for the
+    NON-flagship families (DCCRN default/v2 architecture, FullSubNet) —
+    the 'realized as working code' families now get on-chip costs
+    (reference lineage dccrn.py:453-594, models.py:417-443)."""
+    from aec_tpu.models.dccrn import DccrnConfig, dccrn_apply, dccrn_init
+    from aec_tpu.models.fullsubnet import (
+        FullSubNetConfig,
+        fullsubnet_apply,
+        fullsubnet_init,
+    )
+
+    rng = np.random.default_rng(7)
+    n = (8 * SR if not small else SR) // 320 * 320
+    counts = (1, 4) if not small else (1, 2)
+
+    dcfg = DccrnConfig()
+    dparams, dstate = dccrn_init(jax.random.PRNGKey(0), dcfg)
+    xrt_d, _, per_d = _sequential_device_xrt(
+        lambda f, m: dccrn_apply(dparams, dstate, m[None], f[None], dcfg)[0]["wav"],
+        n, rng, counts=counts,
+    )
+
+    fcfg = FullSubNetConfig()
+    fparams = fullsubnet_init(jax.random.PRNGKey(1), fcfg)
+    xrt_f, _, per_f = _sequential_device_xrt(
+        lambda f, m: fullsubnet_apply(fparams, m[None], f[None], fcfg)["wav"],
+        n, rng, counts=counts,
+    )
+    return {
+        "metric": "model_zoo_single_utt_xrt", "value": round(xrt_d, 1),
+        "unit": "x_realtime", "vs_baseline": None,
+        "dccrn": {"xrt": round(xrt_d, 1), "utt_ms": round(per_d * 1e3, 2)},
+        "fullsubnet": {"xrt": round(xrt_f, 1), "utt_ms": round(per_f * 1e3, 2)},
+    }
+
+
 BENCHES = {
     "1": bench_nlms,
     "2": bench_kalman,
@@ -291,6 +467,8 @@ BENCHES = {
     "4": bench_features_1k,
     "5": bench_two_stage_multichip,
     "6": bench_concurrent_streams,
+    "7": bench_training,
+    "8": bench_model_zoo,
 }
 
 
