@@ -6,8 +6,15 @@ file pairs.
 
   python -m aec_tpu.cli.measure --est_dir out/test [--metrics stoi,sisnr,erle,snr]
   python -m aec_tpu.cli.measure --est path/a.wav --ref path/b.wav
+  python -m aec_tpu.cli.measure --est a.wav --ref b.wav --metrics pesq \
+      --allow-approx-pesq
 
-PESQ is deliberately gated: no licensed implementation ships in this image.
+PESQ resolution (round-3): ``--metrics pesq`` first looks for an external
+reference implementation (the ``pesq`` pypi wrapper of the ITU ANSI-C code)
+and uses it when installed; otherwise it requires the explicit
+``--allow-approx-pesq`` opt-in to run the bundled from-spec P.862
+reimplementation (aec_tpu/train/pesq.py — uncertified, documented deviation
+risk, regression-pinned). The report labels which implementation scored.
 """
 
 from __future__ import annotations
@@ -27,7 +34,10 @@ from aec_tpu.train.stoi import stoi
 ALL_METRICS = ("stoi", "sisnr", "erle", "snr")
 
 
-def score_pair(est, ref, mic=None, metrics=ALL_METRICS) -> dict[str, float]:
+def score_pair(
+    est, ref, mic=None, metrics=ALL_METRICS, *, sr=16000,
+    allow_approx_pesq=False,
+) -> dict[str, float]:
     n = min(len(est), len(ref))
     est, ref = est[:n], ref[:n]
     out = {}
@@ -41,10 +51,14 @@ def score_pair(est, ref, mic=None, metrics=ALL_METRICS) -> dict[str, float]:
         m = mic[:n]
         out["erle"] = float(erle(jnp.asarray(m), jnp.asarray(est)))
     if "pesq" in metrics:
-        raise SystemExit(
-            "PESQ (ITU-T P.862) requires a licensed implementation that is not "
-            "bundled; use stoi/sisnr/erle/snr instead."
-        )
+        from aec_tpu.train.pesq import pesq_score
+
+        try:
+            out.update(
+                pesq_score(ref, est, sr, allow_fallback=allow_approx_pesq)
+            )
+        except RuntimeError as exc:
+            raise SystemExit(str(exc)) from None
     return out
 
 
@@ -55,9 +69,16 @@ def main(argv=None) -> None:
     p.add_argument("--ref", type=str, default="", help="single clean reference wav")
     p.add_argument("--mic", type=str, default="", help="optional mic wav (for ERLE)")
     p.add_argument("--metrics", type=str, default="stoi,sisnr,erle,snr")
+    p.add_argument(
+        "--allow-approx-pesq", action="store_true",
+        help="permit the bundled from-spec P.862 model when no external "
+        "reference implementation is installed (uncertified scores; see "
+        "aec_tpu/train/pesq.py)",
+    )
     p.add_argument("--json_out", type=str, default="")
     args = p.parse_args(argv)
     metrics = tuple(m.strip() for m in args.metrics.split(","))
+    kw = dict(metrics=metrics, allow_approx_pesq=args.allow_approx_pesq)
 
     results = []
     if args.est_dir:
@@ -68,12 +89,14 @@ def main(argv=None) -> None:
             est = read_wav(est_path)[0]
             ref = read_wav(ref_path)[0]
             mic = read_wav(mic_path)[0] if os.path.isfile(mic_path) else None
-            results.append({"id": k, **score_pair(est, ref, mic, metrics)})
+            results.append({"id": k, **score_pair(est, ref, mic, **kw)})
     else:
         est = read_wav(args.est)[0]
         ref = read_wav(args.ref)[0]
         mic = read_wav(args.mic)[0] if args.mic else None
-        results.append({"id": os.path.basename(args.est), **score_pair(est, ref, mic, metrics)})
+        results.append(
+            {"id": os.path.basename(args.est), **score_pair(est, ref, mic, **kw)}
+        )
 
     summary = {
         m: float(np.nanmean([r[m] for r in results if m in r]))

@@ -193,7 +193,9 @@ class Trainer:
         if unknown:
             raise ValueError(
                 f"unknown validate_metrics {sorted(unknown)}; "
-                "supported: stoi, sisdr (pesq is gated — see cli/measure.py)"
+                "supported: stoi, sisdr — the reference's validate_conf set "
+                "(configs.py:49-52). PESQ scoring lives in cli/measure.py "
+                "(external impl preferred, from-spec fallback opt-in)."
             )
 
     def train(self) -> dict:
