@@ -4,13 +4,17 @@ Produces the pretrained checkpoint shipped at ``checkpoints/little_net_synthetic
 
   python examples/train_synthetic.py [--steps 1500] [--batch 64]
 
-Scenes are AEC-Challenge-style: far-end speech-shaped noise through a random
-decaying RIR (echo), plus near-end speech-shaped noise at random SNR. The
-net trains on the REAL two-stage configuration: its mic input is the
-stage-1 Kalman canceller's output (residual echo + near end), its reference
-is the far-end — exactly the deployment contract (BASELINE.json north star).
-Training runs entirely on device; scene synthesis is fully vectorized
-(FFT-domain convolution), so each step is one jit call.
+Scenes are AEC-Challenge-style: far-end speech-shaped noise OR harmonic
+speech-like excitation (drifting pitch, syllabic envelope) through a random
+decaying RIR with random bulk delay (0-40 ms) and, on a fraction of scenes,
+memoryless loudspeaker saturation (tanh soft clip) — the round-3 quality
+battery's regimes (benchmarks/scenes.py) — plus near-end speech-shaped
+noise at random SNR. The net trains on the REAL two-stage configuration:
+its mic input is the stage-1 Kalman canceller's output (residual echo +
+near end), its reference is the far-end — exactly the deployment contract
+(BASELINE.json north star). Training runs entirely on device; scene
+synthesis is fully vectorized (FFT-domain convolution), so each step is
+one jit call.
 """
 
 from __future__ import annotations
@@ -47,9 +51,41 @@ def make_scene_fn(n: int, rir_len: int = 1600, sr: int = 16000):
         out = shaped * env
         return out / (jnp.max(jnp.abs(out), axis=-1, keepdims=True) + 1e-9)
 
+    def harmonic_speech(key, b):
+        """Speech-like far-end: drifting-pitch harmonic stack * syllabic
+        envelope with pauses (benchmarks/scenes.py::speech_like, jittable)."""
+        k_f0, k_ph, k_env, k_noise = jax.random.split(key, 4)
+        t = jnp.arange(n) / sr
+        f0 = jax.random.uniform(k_f0, (b, 1), minval=90.0, maxval=230.0)
+        drift = 1.0 + 0.08 * jnp.sin(
+            2 * jnp.pi * 0.7 * t[None, :]
+            + jax.random.uniform(k_f0, (b, 1), maxval=6.28)
+        )
+        ph = 2 * jnp.pi * jnp.cumsum(f0 * drift, axis=-1) / sr
+        sig = jnp.zeros((b, n))
+        phases = jax.random.uniform(k_ph, (b, 6), maxval=6.28)
+        for k_h, a in enumerate((1.0, 0.6, 0.45, 0.3, 0.2, 0.12)):
+            sig = sig + a * jnp.sin((k_h + 1) * ph + phases[:, k_h : k_h + 1])
+        rate = jax.random.uniform(k_env, (b, 1), minval=2.5, maxval=4.5)
+        env = jnp.clip(
+            jnp.sin(2 * jnp.pi * rate * t[None, :]
+                    + jax.random.uniform(k_env, (b, 1), maxval=6.28)) + 0.25,
+            0.0, None,
+        ) ** 1.5
+        sig = sig * env + 0.02 * jax.random.normal(k_noise, (b, n))
+        return sig / (jnp.max(jnp.abs(sig), axis=-1, keepdims=True) + 1e-9)
+
+    max_delay = 640  # up to 40 ms of bulk delay in the echo path
+
     def scenes(key, b):
-        k_far, k_near, k_rir, k_gain, k_snr, k_act, k_tilt = jax.random.split(key, 7)
-        far = speech_shaped(k_far, b)
+        (k_far, k_near, k_rir, k_gain, k_snr, k_act, k_tilt,
+         k_kind, k_nl, k_delay) = jax.random.split(key, 10)
+        # ~half the scenes use harmonic speech-like far-ends (the regime
+        # that exposed the classic-NLMS divergence; scenes.py)
+        pick = (jax.random.uniform(k_kind, (b, 1)) < 0.5).astype(jnp.float32)
+        far = pick * harmonic_speech(k_far, b) + (1.0 - pick) * speech_shaped(
+            k_far, b
+        )
         # near-end: distinct random spectral emphasis + intermittent activity
         near = speech_shaped(k_near, b)
         f = jnp.fft.rfftfreq(n, 1.0 / sr)
@@ -61,14 +97,26 @@ def make_scene_fn(n: int, rir_len: int = 1600, sr: int = 16000):
         active = (jax.random.uniform(k_act, (b, 1)) < 0.7).astype(jnp.float32)
 
         decay = jax.random.uniform(k_rir, (b, 1), minval=100.0, maxval=500.0)
-        rir = jax.random.normal(k_rir, (b, rir_len)) * jnp.exp(
-            -jnp.arange(rir_len) / decay
+        # random bulk delay folded into the RIR support (no gathers: the
+        # decay formula is evaluated at idx - delay and masked causal)
+        L = rir_len + max_delay
+        delay = jax.random.randint(k_delay, (b, 1), 0, max_delay).astype(
+            jnp.float32
+        )
+        idx = jnp.arange(L)[None, :].astype(jnp.float32)
+        rir = (
+            jax.random.normal(k_rir, (b, L))
+            * jnp.exp(-jnp.maximum(idx - delay, 0.0) / decay)
+            * (idx >= delay)
         )
         rir = rir / (jnp.max(jnp.abs(rir), axis=-1, keepdims=True) + 1e-9)
         gain = jax.random.uniform(k_gain, (b, 1), minval=0.3, maxval=1.0)
-        m = n + rir_len  # linear convolution via zero-padded FFT
+        # ~30% of scenes: memoryless loudspeaker saturation before the room
+        nl = (jax.random.uniform(k_nl, (b, 1)) < 0.3).astype(jnp.float32)
+        far_ls = nl * (jnp.tanh(2.5 * far) / 2.5) + (1.0 - nl) * far
+        m = n + L  # linear convolution via zero-padded FFT
         echo = jnp.fft.irfft(
-            jnp.fft.rfft(far, n=m) * jnp.fft.rfft(gain * rir, n=m), n=m
+            jnp.fft.rfft(far_ls, n=m) * jnp.fft.rfft(gain * rir, n=m), n=m
         )[:, :n]
         near_gain = active * jax.random.uniform(k_snr, (b, 1), minval=0.2, maxval=0.8)
         near = near_gain * near
