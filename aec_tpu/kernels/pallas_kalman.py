@@ -464,7 +464,7 @@ def kalman_filter_fused_batched_bl(
     block: int = 256,
     interpret: bool = False,
     unroll: int | None = None,
-    tile: int = 128,
+    tile: int | None = None,
     dot_mode: str = "mixed",
 ) -> jax.Array:
     """Batch-in-lanes fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
@@ -479,11 +479,18 @@ def kalman_filter_fused_batched_bl(
     batch, t_steps, _ = far_blocks.shape
     k = block + 1
     l = cfg.n_blocks
+    if tile is None:
+        # "high" runs every matmul 3-pass; its operand splits overflow the
+        # 16 MB scoped-VMEM budget at tile>=96 with unroll=2, and at
+        # tile=128/unroll=1 any grid with >=512 time steps crashes the
+        # compiler (both measured on v5e, round-3: tile 128/96 u2 FAIL,
+        # 64/2 OK up to T=1024; 128/1 OK only to T=256). tile=64 costs
+        # ~1.9x vs mixed@128 at batch 256 (23.7 vs 12.7 ms per 256 x
+        # 8.2 s) — almost all of it the smaller batch tile (mixed@64 is
+        # 22.3 ms), so the parity tax of the 3x dots themselves is ~6%.
+        tile = 64 if dot_mode == "high" else 128
     if unroll is None:
-        # "high" runs every matmul 3-pass, whose operand splits push scoped
-        # VMEM past the 16 MB limit at unroll=2 (measured: 16.4 MB); the
-        # smaller streamed buffers at unroll=1 fit.
-        unroll = 1 if dot_mode == "high" else 2
+        unroll = 2
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
@@ -546,14 +553,16 @@ def kalman_cancel_fused_batched_bl(
     *,
     block: int = 256,
     interpret: bool = False,
-    tile: int = 128,
+    tile: int | None = None,
     unroll: int | None = None,
     dot_mode: str = "mixed",
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched canceller on the batch-in-lanes kernel.
 
     Fully fused stage-1: the far-frame analysis STFT runs inside the kernel,
-    so the only HBM tensors are the wavs in and the cancelled blocks out."""
+    so the only HBM tensors are the wavs in and the cancelled blocks out.
+    ``tile=None`` resolves per dot_mode (64 for "high", else 128 — see
+    kalman_filter_fused_batched_bl for the measured compile/VMEM envelope)."""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)

@@ -284,18 +284,21 @@ def nlms_filter_fused_batched_bl(
     block: int = 256,
     interpret: bool = False,
     unroll: int | None = None,
-    tile: int = 128,
+    tile: int | None = None,
     dot_mode: str = "mixed",
 ) -> jax.Array:
     """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, T/unroll)."""
     batch, t_steps, _ = far_blocks.shape
     k = block + 1
     l = cfg.n_blocks
+    if tile is None:
+        # same compile/VMEM envelope as the Kalman sibling (measured there,
+        # round-3): "high" overflows scoped VMEM at tile>=96/unroll=2 and
+        # crashes the compiler at tile=128/unroll=1 with >=512 grid steps;
+        # tile=64/unroll=2 is safe to at least T=1024.
+        tile = 64 if dot_mode == "high" else 128
     if unroll is None:
-        # "high" runs every matmul 3-pass, whose operand splits push scoped
-        # VMEM past the 16 MB limit at unroll=2 (measured: 16.4 MB); the
-        # smaller streamed buffers at unroll=1 fit.
-        unroll = 1 if dot_mode == "high" else 2
+        unroll = 2
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
@@ -357,11 +360,12 @@ def nlms_cancel_fused_batched_bl(
     *,
     block: int = 256,
     interpret: bool = False,
-    tile: int = 128,
+    tile: int | None = None,
     unroll: int | None = None,
     dot_mode: str = "mixed",
 ) -> dict[str, jax.Array]:
-    """Waveform in/out batched NLMS on the batch-in-lanes fused kernel."""
+    """Waveform in/out batched NLMS on the batch-in-lanes fused kernel.
+    ``tile=None`` resolves per dot_mode (64 for "high", else 128)."""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
