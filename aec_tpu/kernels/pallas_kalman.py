@@ -434,7 +434,12 @@ def _kernel_batched_bl(
         consts = args[:24]
         e_ref = args[24]
         state = args[25:32]  # wr, wi, p, xbr, xbi, psi, fprev
-        t = pl.program_id(1)
+        # time is a 2-LEVEL grid (outer, inner): this image's TPU compile
+        # helper crashes on a single grid dimension >= 512 at tile >= 96
+        # (measured envelope in kalman_filter_fused_batched_bl); splitting
+        # the dimension is semantically identical — the scratch state
+        # persists across the whole grid and inner is the fastest axis.
+        t = pl.program_id(1) + pl.program_id(2)
 
         @pl.when(t == 0)
         def _init():
@@ -444,9 +449,9 @@ def _kernel_batched_bl(
             state[5][:] = jnp.full_like(state[5], cfg.psi_floor)
 
         for u in range(unroll):
-            e_ref[0, 0, u] = bl.kalman_block_step(
+            e_ref[0, 0, 0, u] = bl.kalman_block_step(
                 cfg, l, tile, dots, consts, state,
-                far_ref[0, 0, u], d_ref[0, 0, u],
+                far_ref[0, 0, 0, u], d_ref[0, 0, 0, u],
             )
 
     return kernel
@@ -454,7 +459,9 @@ def _kernel_batched_bl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block", "interpret", "unroll", "tile", "dot_mode"),
+    static_argnames=(
+        "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid"
+    ),
 )
 def kalman_filter_fused_batched_bl(
     cfg: KalmanConfig,
@@ -466,6 +473,7 @@ def kalman_filter_fused_batched_bl(
     unroll: int | None = None,
     tile: int | None = None,
     dot_mode: str = "mixed",
+    max_grid: int = 256,
 ) -> jax.Array:
     """Batch-in-lanes fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
 
@@ -494,36 +502,43 @@ def kalman_filter_fused_batched_bl(
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
-    t_pad = (-t_steps) % unroll
+    # 2-level time grid: keep every grid dimension <= 256 (see _kernel
+    # docstring; a single >=512-step dim crashes this image's compiler at
+    # tile >= 96). Padding lives at the END of the time axis, after every
+    # real block, so state evolution over the real signal is unchanged.
+    t_u = -(-t_steps // unroll)
+    t_outer = -(-t_u // max_grid)
+    t_inner = -(-t_u // t_outer)
+    t_total = t_outer * t_inner * unroll
+    t_pad = t_total - t_steps
     if b_pad or t_pad:
         far_blocks = jnp.pad(far_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
         d_blocks = jnp.pad(d_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
     bt = (batch + b_pad) // tile
-    t_total = t_steps + t_pad
 
-    def tm(a, w):  # (B, T, w) -> (bt, T/unroll, unroll, w, tile)
+    def tm(a, w):  # (B, T, w) -> (bt, t_outer, t_inner, unroll, w, tile)
         a = a.astype(jnp.float32).reshape(bt, tile, t_total, w)
         a = jnp.transpose(a, (0, 2, 3, 1))  # (bt, T, w, tile)
-        return a.reshape(bt, t_total // unroll, unroll, w, tile)
+        return a.reshape(bt, t_outer, t_inner, unroll, w, tile)
 
     step = lambda w: pl.BlockSpec(  # noqa: E731
-        (1, 1, unroll, w, tile), lambda b, t: (b, t, 0, 0, 0),
+        (1, 1, 1, unroll, w, tile), lambda b, to, ti: (b, to, ti, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     whole = lambda r, c: pl.BlockSpec(  # noqa: E731
-        (r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+        (r, c), lambda b, to, ti: (0, 0), memory_space=pltpu.VMEM
     )
 
     const_ops = bl.stage1_consts(block)
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
-        grid=(bt, t_total // unroll),
+        grid=(bt, t_outer, t_inner),
         in_specs=[step(block), step(block)]
         + [whole(*c.shape) for c in const_ops],
         out_specs=step(block),
         out_shape=jax.ShapeDtypeStruct(
-            (bt, t_total // unroll, unroll, block, tile), jnp.float32
+            (bt, t_outer, t_inner, unroll, block, tile), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((k, l * tile), jnp.float32),  # wr
@@ -540,7 +555,7 @@ def kalman_filter_fused_batched_bl(
         tm(d_blocks, block),
         *const_ops,
     )
-    # (bt, T/unroll, unroll, block, tile) -> (BATCH, T, B)
+    # (bt, t_outer, t_inner, unroll, block, tile) -> (BATCH, T, B)
     out = out.reshape(bt, t_total, block, tile)
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(bt * tile, t_total, block)
     return out[:batch, :t_steps]
@@ -556,6 +571,7 @@ def kalman_cancel_fused_batched_bl(
     tile: int | None = None,
     unroll: int | None = None,
     dot_mode: str = "mixed",
+    max_grid: int = 256,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched canceller on the batch-in-lanes kernel.
 
@@ -570,7 +586,7 @@ def kalman_cancel_fused_batched_bl(
     d_blocks = micp.reshape(micp.shape[0], -1, block)
     e = kalman_filter_fused_batched_bl(
         cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
-        unroll=unroll, dot_mode=dot_mode,
+        unroll=unroll, dot_mode=dot_mode, max_grid=max_grid,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}
 

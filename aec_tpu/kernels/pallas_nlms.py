@@ -211,7 +211,8 @@ def _kernel_batched_bl(
                ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
                fbr_hi, fbr_lo, fbi_hi, fbi_lo,
                e_ref, wr, wi, xbr, xbi, power, psi, fprev):
-        t = pl.program_id(1)
+        # 2-level time grid (outer, inner) — see pallas_kalman._kernel_batched_bl
+        t = pl.program_id(1) + pl.program_id(2)
 
         @pl.when(t == 0)
         def _init():
@@ -225,7 +226,7 @@ def _kernel_batched_bl(
 
         for u in range(unroll):
             # in-kernel far-frame analysis STFT (see kalman kernel)
-            cur = far_ref[0, 0, u]  # (block, tile)
+            cur = far_ref[0, 0, 0, u]  # (block, tile)
             frame = jnp.concatenate([fprev[:], cur], axis=0)
             fprev[:] = cur
             xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
@@ -246,8 +247,8 @@ def _kernel_batched_bl(
             y_blk = dot_y(itr_hi, itr_lo, itr_last, yr) + dot_y(
                 iti_hi, iti_lo, iti_last, yi
             )
-            e_blk = d_ref[0, 0, u] - y_blk  # (block, tile)
-            e_ref[0, 0, u] = e_blk
+            e_blk = d_ref[0, 0, 0, u] - y_blk  # (block, tile)
+            e_ref[0, 0, 0, u] = e_blk
             er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
             ei = dot_r(fi_hi, fi_lo, e_blk)
             psi_new = es * psi[:] + (1.0 - es) * (er * er + ei * ei)
@@ -274,7 +275,9 @@ def _kernel_batched_bl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block", "interpret", "unroll", "tile", "dot_mode"),
+    static_argnames=(
+        "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid"
+    ),
 )
 def nlms_filter_fused_batched_bl(
     cfg: NlmsConfig,
@@ -286,8 +289,9 @@ def nlms_filter_fused_batched_bl(
     unroll: int | None = None,
     tile: int | None = None,
     dot_mode: str = "mixed",
+    max_grid: int = 256,
 ) -> jax.Array:
-    """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, T/unroll)."""
+    """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, t_outer, t_inner)."""
     batch, t_steps, _ = far_blocks.shape
     k = block + 1
     l = cfg.n_blocks
@@ -302,36 +306,40 @@ def nlms_filter_fused_batched_bl(
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
-    t_pad = (-t_steps) % unroll
+    # 2-level time grid, every grid dim <= 256 (see pallas_kalman)
+    t_u = -(-t_steps // unroll)
+    t_outer = -(-t_u // max_grid)
+    t_inner = -(-t_u // t_outer)
+    t_total = t_outer * t_inner * unroll
+    t_pad = t_total - t_steps
     if b_pad or t_pad:
         far_blocks = jnp.pad(far_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
         d_blocks = jnp.pad(d_blocks, [(0, b_pad), (0, t_pad), (0, 0)])
     bt = (batch + b_pad) // tile
-    t_total = t_steps + t_pad
 
-    def tm(a, w):  # (B, T, w) -> (bt, T/unroll, unroll, w, tile)
+    def tm(a, w):  # (B, T, w) -> (bt, t_outer, t_inner, unroll, w, tile)
         a = a.astype(jnp.float32).reshape(bt, tile, t_total, w)
         a = jnp.transpose(a, (0, 2, 3, 1))
-        return a.reshape(bt, t_total // unroll, unroll, w, tile)
+        return a.reshape(bt, t_outer, t_inner, unroll, w, tile)
 
     step = lambda w: pl.BlockSpec(  # noqa: E731
-        (1, 1, unroll, w, tile), lambda b, t: (b, t, 0, 0, 0),
+        (1, 1, 1, unroll, w, tile), lambda b, to, ti: (b, to, ti, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     whole = lambda r, c: pl.BlockSpec(  # noqa: E731
-        (r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+        (r, c), lambda b, to, ti: (0, 0), memory_space=pltpu.VMEM
     )
 
     const_ops = bl.stage1_consts(block)
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
-        grid=(bt, t_total // unroll),
+        grid=(bt, t_outer, t_inner),
         in_specs=[step(block), step(block)]
         + [whole(*c.shape) for c in const_ops],
         out_specs=step(block),
         out_shape=jax.ShapeDtypeStruct(
-            (bt, t_total // unroll, unroll, block, tile), jnp.float32
+            (bt, t_outer, t_inner, unroll, block, tile), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((k, l * tile), jnp.float32),  # wr
@@ -363,6 +371,7 @@ def nlms_cancel_fused_batched_bl(
     tile: int | None = None,
     unroll: int | None = None,
     dot_mode: str = "mixed",
+    max_grid: int = 256,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched NLMS on the batch-in-lanes fused kernel.
     ``tile=None`` resolves per dot_mode (64 for "high", else 128)."""
@@ -373,6 +382,6 @@ def nlms_cancel_fused_batched_bl(
     d_blocks = micp.reshape(micp.shape[0], -1, block)
     e = nlms_filter_fused_batched_bl(
         cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
-        unroll=unroll, dot_mode=dot_mode,
+        unroll=unroll, dot_mode=dot_mode, max_grid=max_grid,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}

@@ -234,3 +234,30 @@ def test_nlms_fused_batched_bl_matches_scan(rng):
         e_k = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(got[i, tail])))
         e_s = float(erle(jnp.asarray(mic[i, tail]), jnp.asarray(want[i, tail])))
         assert abs(e_k - e_s) < 0.5, (i, e_k, e_s)
+
+
+def test_bl_two_level_time_grid_equivalence(rng):
+    """The 2-level (outer, inner) time grid must be bit-identical to the
+    single-level grid (round-3: a single >=512-step grid dim crashes the
+    TPU compile helper at tile >= 96, so production T=512 runs split the
+    dimension; max_grid=3 here forces t_outer > 1 cheaply in interpret)."""
+    from aec_tpu.configs import KalmanConfig, NlmsConfig
+    from aec_tpu.kernels.pallas_kalman import kalman_filter_fused_batched_bl
+    from aec_tpu.kernels.pallas_nlms import nlms_filter_fused_batched_bl
+
+    b, t, blk = 2, 13, 256  # 13 blocks -> t_u=7 at unroll=2 -> (3, 3) grid
+    far = rng.standard_normal((b, t, blk)).astype(np.float32)
+    mic = rng.standard_normal((b, t, blk)).astype(np.float32)
+    for cfg, fn in (
+        (KalmanConfig(), kalman_filter_fused_batched_bl),
+        (NlmsConfig(), nlms_filter_fused_batched_bl),
+    ):
+        one = np.asarray(
+            fn(cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True,
+               tile=1, unroll=2, dot_mode="high", max_grid=256)
+        )
+        split = np.asarray(
+            fn(cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True,
+               tile=1, unroll=2, dot_mode="high", max_grid=3)
+        )
+        np.testing.assert_array_equal(one, split)
