@@ -1,8 +1,11 @@
 """Train the stage-2 LittleNet post-filter on synthetic echo scenes.
 
-Produces the pretrained checkpoint shipped at ``checkpoints/little_net_synthetic.npz``:
+Produces the ROBUST pretrained checkpoint shipped at
+``checkpoints/little_net_robust.npz`` (the speech-noise-only specialist
+``little_net_synthetic.npz`` was trained by the round-2 version of this
+script; tests/test_pretrained.py pins the measured trade-off between them):
 
-  python examples/train_synthetic.py [--steps 1500] [--batch 64]
+  python examples/train_synthetic.py [--steps 3000] [--batch 64]
 
 Scenes are AEC-Challenge-style: far-end speech-shaped noise OR harmonic
 speech-like excitation (drifting pitch, syllabic envelope) through a random
@@ -135,7 +138,7 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--seconds", type=float, default=4.0)
     p.add_argument("--lr", type=float, default=3e-3)
-    p.add_argument("--out", type=str, default="checkpoints/little_net_synthetic.npz")
+    p.add_argument("--out", type=str, default="checkpoints/little_net_robust.npz")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 

@@ -20,7 +20,13 @@ if [ "$TEST_STEP" = "1" ]; then
 fi
 
 if [ "$EVAL_STEP" = "1" ]; then
+  # METRICS defaults to the reference's working set; add pesq (external
+  # impl preferred; set PESQ_APPROX=1 to allow the bundled from-spec model)
+  METRICS=${METRICS:-stoi,sisnr,erle,snr}
+  EXTRA=()
+  if [ "${PESQ_APPROX:-0}" = "1" ]; then EXTRA+=(--allow-approx-pesq); fi
   for d in "$EST_PATH"/*/; do
-    python -m aec_tpu.cli.measure --est_dir "$d" --json_out "$d/metrics.json"
+    python -m aec_tpu.cli.measure --est_dir "$d" --metrics "$METRICS" \
+      --json_out "$d/metrics.json" "${EXTRA[@]}"
   done
 fi
