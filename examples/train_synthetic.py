@@ -140,6 +140,12 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--out", type=str, default="checkpoints/little_net_robust.npz")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--balance", action="store_true",
+        help="per-scene self-normalized loss: each scene's gradient is "
+        "scaled by 1/stop_grad(its own loss), so easy scenes (tiny stage-1 "
+        "residual) are not drowned out by hard (nonlinear/harmonic) ones",
+    )
     args = p.parse_args()
 
     from aec_tpu.configs import KalmanConfig, TrainConfig
@@ -167,6 +173,19 @@ def main() -> None:
         lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
 
         def lf(p):
+            if args.balance:
+                # per-scene losses (batch-of-1 pseudo-norm = the inference
+                # contract), each self-normalized so hard scenes don't
+                # drown out the easy-scene gradients
+                def per_scene(l1, f1, n1):
+                    li, _ = little_net_loss(
+                        p, l1[None], f1[None], n1[None], erb, scfg,
+                        sqrt_eps=1e-12,
+                    )
+                    return li
+
+                li = jax.vmap(per_scene)(lin, far, near)
+                return jnp.mean(li / (jax.lax.stop_gradient(li) + 1e-3))
             loss, _ = little_net_loss(
                 p, lin, far, near, erb, scfg, sqrt_eps=1e-12
             )
