@@ -143,8 +143,14 @@ def run_suite(configs: str, small: bool) -> dict:
     return suite
 
 
-def check() -> int:
-    """Perf-bar + routing regression guard (VERDICT r2 item 8)."""
+def check(routing_only: bool = False) -> int:
+    """Perf-bar + routing regression guard (VERDICT r2 item 8).
+
+    The routing assertion (fused Pallas kernels present in the lowered HLO
+    of the default calls) takes ~2 s. The perf bars re-run configs #1-#3,
+    which on a COLD remote-compile cache costs 15-30 min on this image's
+    tunnel (compile-bound, not execution-bound) — pass ``--routing-only``
+    for the instant subset."""
     failures = []
     if jax.default_backend() == "tpu":
         # the default path must route to the fused Pallas kernels
@@ -157,23 +163,27 @@ def check() -> int:
             ("kalman", kalman_cancel, KalmanConfig()),
             ("nlms", nlms_cancel, NlmsConfig()),
         ):
+            # lowered (StableHLO) text, NOT compiled: lowering is local and
+            # instant, while a remote compile takes minutes on this tunnel;
+            # the Pallas kernel shows up as the tpu_custom_call target
             hlo = (
                 jax.jit(lambda f, m, fn=fn, cfg=cfg: fn(cfg, f, m)["wav"])
                 .lower(far, far)
-                .compile()
                 .as_text()
             )
-            if "custom-call" not in hlo or "tpu_custom_call" not in hlo:
-                failures.append(f"{name}: fused kernel NOT in compiled HLO")
-        from benchmarks.baseline_configs import BENCHES
+            if "tpu_custom_call" not in hlo:
+                failures.append(f"{name}: fused kernel NOT in lowered HLO")
+        print(json.dumps({"routing": "fail" if failures else "ok"}), flush=True)
+        if not routing_only:
+            from benchmarks.baseline_configs import BENCHES
 
-        for c in ("1", "2", "3"):
-            r = BENCHES[c]()
-            print(json.dumps(r), flush=True)
-            if r["value"] < 1000.0:
-                failures.append(
-                    f"config #{c} {r['metric']} = {r['value']} < 1000x"
-                )
+            for c in ("1", "2", "3"):
+                r = BENCHES[c]()
+                print(json.dumps(r), flush=True)
+                if r["value"] < 1000.0:
+                    failures.append(
+                        f"config #{c} {r['metric']} = {r['value']} < 1000x"
+                    )
     else:
         print(json.dumps({"check": "skipped (backend != tpu)"}))
     for f in failures:
@@ -188,13 +198,15 @@ def main(argv=None) -> None:
     p.add_argument("--configs", default="1,2,3,4,5,6,7,8")
     p.add_argument("--small", action="store_true")
     p.add_argument("--check", action="store_true")
+    p.add_argument("--routing-only", action="store_true",
+                   help="with --check: just the instant HLO routing guard")
     p.add_argument("--quality", action="store_true",
                    help="also measure the fast-mode headline")
     p.add_argument("--headline-only", action="store_true")
     args = p.parse_args(argv)
 
     if args.check:
-        raise SystemExit(check())
+        raise SystemExit(check(routing_only=args.routing_only))
 
     suite = {}
     if not args.headline_only:

@@ -144,7 +144,14 @@ def main() -> None:
         "--balance", action="store_true",
         help="per-scene self-normalized loss: each scene's gradient is "
         "scaled by 1/stop_grad(its own loss), so easy scenes (tiny stage-1 "
-        "residual) are not drowned out by hard (nonlinear/harmonic) ones",
+        "residual) are not drowned out by hard (nonlinear/harmonic) ones. "
+        "MEASURED (v5e, 3000 steps): suppression jumps dramatically "
+        "(speech_far 71->113 dB, nonlinear 69->111, battery dtalk ERLE "
+        "132 dB) but the model over-suppresses the NEAR end in double talk "
+        "(battery speech-dtalk STOI 0.614 vs 0.669 unbalanced; sine-near "
+        "scene reduced to +2.6 dB ERLE) -- the shipped robust checkpoint "
+        "therefore trains WITHOUT this flag; use it for suppression-max "
+        "applications where near-end fidelity is secondary",
     )
     args = p.parse_args()
 
@@ -174,18 +181,21 @@ def main() -> None:
 
         def lf(p):
             if args.balance:
-                # per-scene losses (batch-of-1 pseudo-norm = the inference
-                # contract), each self-normalized so hard scenes don't
-                # drown out the easy-scene gradients
+                # per-scene losses, each self-normalized so hard scenes
+                # don't drown out the easy-scene gradients. normalize=False:
+                # (a) matches the deployment contract (two_stage_cancel
+                # defaults to the causal un-normalized path), (b) the
+                # per-scene pseudo-norm NaNs on the 30% silent-near scenes
+                # (mean/std with std=0 — measured)
                 def per_scene(l1, f1, n1):
                     li, _ = little_net_loss(
                         p, l1[None], f1[None], n1[None], erb, scfg,
-                        sqrt_eps=1e-12,
+                        normalize=False, sqrt_eps=1e-12,
                     )
                     return li
 
                 li = jax.vmap(per_scene)(lin, far, near)
-                return jnp.mean(li / (jax.lax.stop_gradient(li) + 1e-3))
+                return jnp.mean(li / (jax.lax.stop_gradient(li) + 1e-2))
             loss, _ = little_net_loss(
                 p, lin, far, near, erb, scfg, sqrt_eps=1e-12
             )
