@@ -44,17 +44,29 @@ def make_lbcast(l: int):
     return lbcast
 
 
-def _plain(c):
+def _plain(c, native=False):
+    if native:
+        # native-HIGHEST mode keeps the matrix in f32 (Mosaic honors
+        # precision=HIGHEST on in-kernel dots — measured 1.75e-7 rel, true
+        # fp32); the lo slot becomes a minimal dummy so the operand count
+        # and kernel signatures stay mode-independent
+        return [jnp.asarray(c, jnp.float32), jnp.zeros((8, 128), jnp.float32)]
     return list(prec.split_hi_lo(c))
 
 
-def _k1(c):
-    """(rows, K) constant: bf16_3x split of the first K-1 columns + the
-    final (Nyquist) column as an f32 (rows, 1) vector."""
+def _k1(c, native=False):
+    """(rows, K) constant: bf16_3x split (or native f32) of the first K-1
+    columns + the final (Nyquist) column as an f32 (rows, 1) vector."""
+    if native:
+        return [
+            jnp.asarray(c[:, :-1], jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.asarray(c[:, -1:], jnp.float32),
+        ]
     return [*prec.split_hi_lo(c[:, :-1]), jnp.asarray(c[:, -1:], jnp.float32)]
 
 
-def stage1_consts(block: int) -> list[jax.Array]:
+def stage1_consts(block: int, native: bool = False) -> list[jax.Array]:
     """The 24 stage-1 constant operands, in kernel argument order:
 
     FW_r/i (K, N) plain   — in-kernel far-frame analysis DFT
@@ -74,16 +86,16 @@ def stage1_consts(block: int) -> list[jax.Array]:
     ).astype(np.float32)  # (2K, N)
     fwd_head, fwd_tail = fwd[:block, :], fwd[block:, :]
     return (
-        _plain(fwd[:, :k].T)
-        + _plain(fwd[:, k:].T)
-        + _k1(inv_tail[:k, :].T)
-        + _k1(inv_tail[k:, :].T)
-        + _plain(fwd_tail[:, :k].T)
-        + _plain(fwd_tail[:, k:].T)
-        + _k1(inv_full[:k, :block].T)
-        + _k1(inv_full[k:, :block].T)
-        + _plain(fwd_head[:, :k].T)
-        + _plain(fwd_head[:, k:].T)
+        _plain(fwd[:, :k].T, native)
+        + _plain(fwd[:, k:].T, native)
+        + _k1(inv_tail[:k, :].T, native)
+        + _k1(inv_tail[k:, :].T, native)
+        + _plain(fwd_tail[:, :k].T, native)
+        + _plain(fwd_tail[:, k:].T, native)
+        + _k1(inv_full[:k, :block].T, native)
+        + _k1(inv_full[k:, :block].T, native)
+        + _plain(fwd_head[:, :k].T, native)
+        + _plain(fwd_head[:, k:].T, native)
     )
 
 

@@ -48,6 +48,17 @@ method, all same-process A/Bs):
 Quality per dot_mode is measured in benchmarks/validate_precision.py:
 "high" == Precision.HIGH == fp32 ERLE; "mixed" == -0.16 dB worst case;
 "bf16" == -1.45 dB worst case (both only on >40 dB-ERLE scenes).
+
+ROUND-3 "native" mode: Mosaic DOES honor `precision=HIGHEST` on in-kernel
+`lax.dot_general` (jax.lax.Precision.HIGH is rejected — that rejection is
+why the manual bf16_3x split exists). It is EXACT fp32: 2.6e-7 max rel vs
+the fp32 scan measured ON CHIP, slightly better than the 3x split. But it
+is SLOWER than the split on this v5e (32.1 ms at its best config
+tile=128/u1 vs 23.7 ms for "high" at 64/u2; 128/u2 fails remote compile) —
+HIGHEST lowers to a 6-pass bf16 expansion vs the split's 3 passes, and the
+larger tile doesn't recover the gap. Kept as the on-chip exactness oracle
+(the fused_native column in benchmarks/validate_precision.py), not a
+routed production mode.
 """
 
 from __future__ import annotations
@@ -421,14 +432,30 @@ def _kernel_batched_bl(
     stays VMEM-resident across the whole time grid as in the other fused
     kernels.
     """
-    dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
-    dot_x = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
-    dot_y = (
-        prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
-        else prec.dot_fast_lhs_k1
-    )
-    dot_c = prec.dot_high_lhs_k1 if dot_mode == "high" else prec.dot_fast_lhs_k1
-    dots = (dot_x, dot_y, dot_r, dot_c)
+    if dot_mode == "native":
+        # true-fp32 dots via Mosaic's precision=HIGHEST (one IR op each;
+        # see precision.dot_native_lhs) — consts must be built with
+        # stage1_consts(native=True)
+        dots = (
+            prec.dot_native_lhs, prec.dot_native_lhs_k1,
+            prec.dot_native_lhs, prec.dot_native_lhs_k1,
+        )
+        dot_x, dot_y, dot_r, dot_c = dots
+    else:
+        dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
+        dot_x = (
+            prec.dot_high_lhs if dot_mode in ("high", "mixed")
+            else prec.dot_fast_lhs
+        )
+        dot_y = (
+            prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
+            else prec.dot_fast_lhs_k1
+        )
+        dot_c = (
+            prec.dot_high_lhs_k1 if dot_mode == "high"
+            else prec.dot_fast_lhs_k1
+        )
+        dots = (dot_x, dot_y, dot_r, dot_c)
 
     def kernel(far_ref, d_ref, *args):
         consts = args[:24]
@@ -460,7 +487,8 @@ def _kernel_batched_bl(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid"
+        "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid",
+        "vmem_limit_mb"
     ),
 )
 def kalman_filter_fused_batched_bl(
@@ -474,6 +502,7 @@ def kalman_filter_fused_batched_bl(
     tile: int | None = None,
     dot_mode: str = "mixed",
     max_grid: int = 256,
+    vmem_limit_mb: int | None = None,
 ) -> jax.Array:
     """Batch-in-lanes fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
 
@@ -496,9 +525,13 @@ def kalman_filter_fused_batched_bl(
         # ~1.9x vs mixed@128 at batch 256 (23.7 vs 12.7 ms per 256 x
         # 8.2 s) — almost all of it the smaller batch tile (mixed@64 is
         # 22.3 ms), so the parity tax of the 3x dots themselves is ~6%.
+        # "native" (Mosaic precision=HIGHEST, exact fp32): tile=128/u2 also
+        # fails remote compile; measured best is tile=128/u1 (32.1 ms vs
+        # 37.3 ms at 64/u2 for 256 x 8.2 s) — slower than "high"'s 23.7 ms
+        # despite being one IR op per dot, so it stays the oracle mode.
         tile = 64 if dot_mode == "high" else 128
     if unroll is None:
-        unroll = 2
+        unroll = 1 if dot_mode == "native" else 2
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
@@ -529,7 +562,7 @@ def kalman_filter_fused_batched_bl(
         (r, c), lambda b, to, ti: (0, 0), memory_space=pltpu.VMEM
     )
 
-    const_ops = bl.stage1_consts(block)
+    const_ops = bl.stage1_consts(block, native=(dot_mode == "native"))
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
@@ -550,6 +583,12 @@ def kalman_filter_fused_batched_bl(
             pltpu.VMEM((block, tile), jnp.float32),  # fprev (far ring)
         ],
         interpret=interpret,
+        compiler_params=(
+            None if vmem_limit_mb is None
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+        ),
     )(
         tm(far_blocks, block),
         tm(d_blocks, block),
@@ -572,6 +611,7 @@ def kalman_cancel_fused_batched_bl(
     unroll: int | None = None,
     dot_mode: str = "mixed",
     max_grid: int = 256,
+    vmem_limit_mb: int | None = None,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched canceller on the batch-in-lanes kernel.
 
@@ -587,6 +627,7 @@ def kalman_cancel_fused_batched_bl(
     e = kalman_filter_fused_batched_bl(
         cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
         unroll=unroll, dot_mode=dot_mode, max_grid=max_grid,
+        vmem_limit_mb=vmem_limit_mb,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}
 

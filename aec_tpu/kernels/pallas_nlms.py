@@ -191,15 +191,27 @@ def _kernel_batched_bl(
     """
     ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
     es, eps_rel, beta = cfg.err_smooth, cfg.eps_rel, cfg.beta
-    dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
-    dot_x = prec.dot_high_lhs if dot_mode in ("high", "mixed") else prec.dot_fast_lhs
-    # K-contraction transforms: last (Nyquist) bin as an exact f32 rank-1
-    # update instead of MXU contraction padding 257 -> 384 (see precision.py)
-    dot_y = (
-        prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
-        else prec.dot_fast_lhs_k1
-    )
-    dot_c = prec.dot_high_lhs_k1 if dot_mode == "high" else prec.dot_fast_lhs_k1
+    if dot_mode == "native":
+        # true-fp32 dots via Mosaic precision=HIGHEST (see pallas_kalman /
+        # precision.dot_native_lhs); consts arrive in native f32 layout
+        dot_r = dot_x = prec.dot_native_lhs
+        dot_y = dot_c = prec.dot_native_lhs_k1
+    else:
+        dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
+        dot_x = (
+            prec.dot_high_lhs if dot_mode in ("high", "mixed")
+            else prec.dot_fast_lhs
+        )
+        # K-contraction transforms: last (Nyquist) bin as an exact f32 rank-1
+        # update instead of MXU contraction padding 257 -> 384 (precision.py)
+        dot_y = (
+            prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
+            else prec.dot_fast_lhs_k1
+        )
+        dot_c = (
+            prec.dot_high_lhs_k1 if dot_mode == "high"
+            else prec.dot_fast_lhs_k1
+        )
 
     lsum = bl.make_lsum(l, tile)
     lbcast = bl.make_lbcast(l)
@@ -276,7 +288,8 @@ def _kernel_batched_bl(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid"
+        "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid",
+        "vmem_limit_mb"
     ),
 )
 def nlms_filter_fused_batched_bl(
@@ -290,6 +303,7 @@ def nlms_filter_fused_batched_bl(
     tile: int | None = None,
     dot_mode: str = "mixed",
     max_grid: int = 256,
+    vmem_limit_mb: int | None = None,
 ) -> jax.Array:
     """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, t_outer, t_inner)."""
     batch, t_steps, _ = far_blocks.shape
@@ -300,9 +314,11 @@ def nlms_filter_fused_batched_bl(
         # round-3): "high" overflows scoped VMEM at tile>=96/unroll=2 and
         # crashes the compiler at tile=128/unroll=1 with >=512 grid steps;
         # tile=64/unroll=2 is safe to at least T=1024.
+        # "native" (exact fp32 via Mosaic HIGHEST): best measured config is
+        # tile=128/unroll=1 — see the Kalman sibling for the numbers.
         tile = 64 if dot_mode == "high" else 128
     if unroll is None:
-        unroll = 2
+        unroll = 1 if dot_mode == "native" else 2
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
@@ -330,7 +346,7 @@ def nlms_filter_fused_batched_bl(
         (r, c), lambda b, to, ti: (0, 0), memory_space=pltpu.VMEM
     )
 
-    const_ops = bl.stage1_consts(block)
+    const_ops = bl.stage1_consts(block, native=(dot_mode == "native"))
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
@@ -351,6 +367,12 @@ def nlms_filter_fused_batched_bl(
             pltpu.VMEM((block, tile), jnp.float32),  # fprev (far ring)
         ],
         interpret=interpret,
+        compiler_params=(
+            None if vmem_limit_mb is None
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+        ),
     )(
         tm(far_blocks, block),
         tm(d_blocks, block),
@@ -372,6 +394,7 @@ def nlms_cancel_fused_batched_bl(
     unroll: int | None = None,
     dot_mode: str = "mixed",
     max_grid: int = 256,
+    vmem_limit_mb: int | None = None,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched NLMS on the batch-in-lanes fused kernel.
     ``tile=None`` resolves per dot_mode (64 for "high", else 128)."""
@@ -383,5 +406,6 @@ def nlms_cancel_fused_batched_bl(
     e = nlms_filter_fused_batched_bl(
         cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
         unroll=unroll, dot_mode=dot_mode, max_grid=max_grid,
+        vmem_limit_mb=vmem_limit_mb,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}

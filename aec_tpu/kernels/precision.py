@@ -88,3 +88,26 @@ def dot_fast_lhs_k1(m_hi_ref, _m_lo_ref, m_last_ref, x):
     """Single-pass variant of :func:`dot_high_lhs_k1`."""
     body = dot_fast_lhs(m_hi_ref, _m_lo_ref, x[:-1])
     return body + m_last_ref[:] * x[-1:]
+
+
+def dot_native_lhs(m_ref, _m_lo_ref, x):
+    """TRUE-fp32 ``m @ x`` via Mosaic's native precision=HIGHEST lowering.
+
+    Round-3 finding: Mosaic DOES honor ``precision=HIGHEST`` on in-kernel
+    dots (measured 1.75e-7 max rel err vs f64 — exact fp32; ``HIGH`` is
+    rejected with 'Unsupported dot precision', which is why the manual
+    bf16_3x split above exists). One IR op instead of three, no in-kernel
+    operand splitting, and BETTER numerics than the 3x split. ``m_ref``
+    must hold the f32 matrix (bl_common.stage1_consts(native=True))."""
+    import jax
+
+    return jax.lax.dot_general(
+        m_ref[:], x, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dot_native_lhs_k1(m_ref, _m_lo_ref, m_last_ref, x):
+    """Native-HIGHEST variant of :func:`dot_high_lhs_k1`."""
+    return dot_native_lhs(m_ref, _m_lo_ref, x[:-1]) + m_last_ref[:] * x[-1:]

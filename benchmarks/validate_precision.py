@@ -80,6 +80,12 @@ def main() -> None:
             "fused_bf16": kalman_cancel_fused_batched_bl(
                 kcfg, farb, micb, tile=4, dot_mode="bf16"
             )["wav"][0],
+            # exact-fp32 oracle mode (Mosaic precision=HIGHEST in-kernel);
+            # expected 0.00 dB on every scene — it pins the kernel itself,
+            # independent of dot decomposition
+            "fused_native": kalman_cancel_fused_batched_bl(
+                kcfg, farb, micb, tile=4, dot_mode="native"
+            )["wav"][0],
         }
         e0 = erle_tail(mic, oracle)
         row = {"oracle_db": round(e0, 2)}

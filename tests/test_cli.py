@@ -177,3 +177,19 @@ def test_stoi_properties(rng):
     s_light, s_heavy = stoi(clean, noisy_light), stoi(clean, noisy_heavy)
     assert s_self >= s_light >= s_heavy
     assert s_heavy < 0.8
+
+
+def test_bench_check_skips_off_tpu(capsys):
+    """bench.py --check on the CPU backend: documented skip, rc 0 (the
+    routing + perf-bar guards only mean something on the TPU backend)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    rc = bench.check()
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "skipped" in out

@@ -261,3 +261,39 @@ def test_bl_two_level_time_grid_equivalence(rng):
                tile=1, unroll=2, dot_mode="high", max_grid=3)
         )
         np.testing.assert_array_equal(one, split)
+
+
+def test_bl_native_dot_mode_is_exact_fp32(rng):
+    """dot_mode="native" (Mosaic precision=HIGHEST, one IR op per dot) must
+    track the fp32 scan TIGHTER than the bf16_3x "high" split — it is the
+    on-chip exactness oracle (measured 2.6e-7 max rel on the TPU; interpret
+    mode runs the same jaxpr here). Covers both bl kernels and the
+    native-layout constant packing (bl_common.stage1_consts(native=True))."""
+    from aec_tpu.configs import NlmsConfig
+    from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
+    from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused_batched_bl
+    from aec_tpu.linear.nlms import nlms_cancel
+
+    b, n = 2, 12 * 256
+    far = rng.standard_normal((b, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)).astype(
+        np.float32
+    )
+    mic = np.stack(
+        [np.convolve(far[i], 0.4 * rir)[:n] for i in range(b)]
+    ).astype(np.float32)
+    for cfg, fused, scan in (
+        (KalmanConfig(), kalman_cancel_fused_batched_bl, kalman_cancel),
+        (NlmsConfig(), nlms_cancel_fused_batched_bl, nlms_cancel),
+    ):
+        want = np.asarray(
+            scan(cfg, jnp.asarray(far), jnp.asarray(mic), fused=False)["wav"]
+        )
+        got = np.asarray(
+            fused(
+                cfg, jnp.asarray(far), jnp.asarray(mic), interpret=True,
+                tile=1, dot_mode="native",
+            )["wav"]
+        )
+        scale = max(float(np.abs(want).max()), 1e-9)
+        np.testing.assert_allclose(got, want, atol=2e-5 * scale)
