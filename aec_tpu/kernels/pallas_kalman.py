@@ -517,21 +517,25 @@ def kalman_filter_fused_batched_bl(
     k = block + 1
     l = cfg.n_blocks
     if tile is None:
-        # "high" runs every matmul 3-pass; its operand splits overflow the
-        # 16 MB scoped-VMEM budget at tile>=96 with unroll=2, and at
-        # tile=128/unroll=1 any grid with >=512 time steps crashes the
-        # compiler (both measured on v5e, round-3: tile 128/96 u2 FAIL,
-        # 64/2 OK up to T=1024; 128/1 OK only to T=256). tile=64 costs
-        # ~1.9x vs mixed@128 at batch 256 (23.7 vs 12.7 ms per 256 x
-        # 8.2 s) — almost all of it the smaller batch tile (mixed@64 is
-        # 22.3 ms), so the parity tax of the 3x dots themselves is ~6%.
-        # "native" (Mosaic precision=HIGHEST, exact fp32): tile=128/u2 also
-        # fails remote compile; measured best is tile=128/u1 (32.1 ms vs
-        # 37.3 ms at 64/u2 for 256 x 8.2 s) — slower than "high"'s 23.7 ms
-        # despite being one IR op per dot, so it stays the oracle mode.
-        tile = 64 if dot_mode == "high" else 128
+        # ROUND-3 RESOLUTION of the round-2 "compile envelope": the
+        # deterministic tile>=96 dot-high compile failure (and the
+        # scoped-VMEM OOMs) were the DEFAULT 16 MB VMEM CAP, not a
+        # hardware/compiler wall — raising vmem_limit_mb (default 100
+        # below) unlocks every tile. Measured per 256 x 8.2 s on v5e:
+        #   high : 64/u2 25.3 | 128/u2 20.5 | 128/u1 20.3 | 256/u1 18.7
+        #          | 256/u2 21.6  -> default 256/u1
+        #   mixed: 128/u2 12.6 | 256/u2 11.4 | 256/u1 12.3 -> 256/u2
+        #   (NLMS mirrors: high 256/u1 17.7, mixed 256/u2 9.2)
+        # "native" (Mosaic precision=HIGHEST, exact fp32): best 128/u1 =
+        # 32.1 ms — slower than "high" despite one IR op per dot (HIGHEST
+        # is a ~6-pass bf16 expansion), so it stays the oracle mode.
+        tile = 128 if dot_mode == "native" else 256
     if unroll is None:
-        unroll = 1 if dot_mode == "native" else 2
+        unroll = 1 if dot_mode in ("high", "native") else 2
+    if vmem_limit_mb is None:
+        # the cap VALUE matters beyond feasibility (64 MB cap: 22.3 ms at
+        # high/128/u2 vs 20.5 at 100 MB — the scheduler uses the headroom)
+        vmem_limit_mb = 100
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
@@ -617,7 +621,7 @@ def kalman_cancel_fused_batched_bl(
 
     Fully fused stage-1: the far-frame analysis STFT runs inside the kernel,
     so the only HBM tensors are the wavs in and the cancelled blocks out.
-    ``tile=None`` resolves per dot_mode (64 for "high", else 128 — see
+    ``tile=None`` resolves per dot_mode (256 production, 128 native — see
     kalman_filter_fused_batched_bl for the measured compile/VMEM envelope)."""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)

@@ -310,15 +310,16 @@ def nlms_filter_fused_batched_bl(
     k = block + 1
     l = cfg.n_blocks
     if tile is None:
-        # same compile/VMEM envelope as the Kalman sibling (measured there,
-        # round-3): "high" overflows scoped VMEM at tile>=96/unroll=2 and
-        # crashes the compiler at tile=128/unroll=1 with >=512 grid steps;
-        # tile=64/unroll=2 is safe to at least T=1024.
-        # "native" (exact fp32 via Mosaic HIGHEST): best measured config is
-        # tile=128/unroll=1 — see the Kalman sibling for the numbers.
-        tile = 64 if dot_mode == "high" else 128
+        # same envelope as the Kalman sibling (see its comment): the old
+        # tile>=96 dot-high compile failures were the default 16 MB VMEM
+        # cap; with vmem_limit_mb=100 the best measured configs per
+        # 256 x 8.2 s on v5e are high 256/u1 = 17.7 ms (was 64/u2 ~23),
+        # mixed 256/u2 = 9.2 ms (was 128/u2 11.7). "native" stays 128/u1.
+        tile = 128 if dot_mode == "native" else 256
     if unroll is None:
-        unroll = 1 if dot_mode == "native" else 2
+        unroll = 1 if dot_mode in ("high", "native") else 2
+    if vmem_limit_mb is None:
+        vmem_limit_mb = 100
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
@@ -397,7 +398,7 @@ def nlms_cancel_fused_batched_bl(
     vmem_limit_mb: int | None = None,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched NLMS on the batch-in-lanes fused kernel.
-    ``tile=None`` resolves per dot_mode (64 for "high", else 128)."""
+    ``tile=None`` resolves per dot_mode (256 production, 128 native)."""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)

@@ -88,7 +88,7 @@ def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "interpret", "tile", "dot_mode"),
+    static_argnames=("cfg", "interpret", "tile", "dot_mode", "vmem_limit_mb"),
 )
 def little_net_apply_fused(
     params,
@@ -100,6 +100,7 @@ def little_net_apply_fused(
     interpret: bool = False,
     tile: int = 256,
     dot_mode: str = "default",
+    vmem_limit_mb: int | None = 100,
 ) -> jax.Array:
     """Fused stage-2: blocks in -> enhanced blocks (BATCH, Tb, hop)."""
     batch, t_blocks, hop = lin_blocks.shape
@@ -156,6 +157,12 @@ def little_net_apply_fused(
             pltpu.VMEM((hop, tile), jnp.float32),  # prev far block
         ],
         interpret=interpret,
+        compiler_params=(
+            None if vmem_limit_mb is None
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+        ),
     )(
         tm(lin_blocks),
         tm(far_blocks),
