@@ -28,15 +28,16 @@ Only the ``normalize=False`` two-stage path can run here: the reference's
 pseudo-norm on the stage-2 input would need the stage-1 output's global
 mean/std BEFORE the kernel runs.
 
-MEASURED (v5e, batch 256 x 8.2 s, 4-unit slope, same process): 16.37 ms vs
-16.25 ms for the two-kernel composition — a DEAD HEAT, with bit-identical
-output waveforms (same per-column op structure). The ~0.7 ms HBM round trip
-saved on the linear waveform is repaid by stage-2 running at the combined
-kernel's tile=128 (stage-1's VMEM state caps the tile) instead of its own
-256. ``two_stage_cancel`` therefore keeps the two-kernel composition;
-this kernel remains the single-dispatch option (one kernel launch per
-batch, useful where dispatch latency dominates, e.g. small-batch
-low-latency serving).
+MEASURED (v5e, batch 256 x 8.2 s, 4-unit slope, same process):
+
+- round-2, 16 MB default VMEM cap, tile=128: 16.37 ms vs 16.25 ms for the
+  two-kernel composition — a dead heat (the saved lin-wav HBM round trip
+  repaid by stage-2 running at the combined kernel's smaller tile).
+- round-3, vmem_limit_mb=100 unlocked tile=256 (see pallas_kalman.py):
+  mixed t256 = **12.83 ms vs 13.43 ms** for the retuned composition (t128
+  16.02) — the single kernel now WINS fast mode by ~4.5%, so
+  ``two_stage_cancel(quality="fast")`` auto-routes here. high t256 =
+  23.48 ms vs 22.62 composition — parity mode keeps the composition.
 """
 
 from __future__ import annotations
@@ -121,7 +122,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kcfg", "scfg", "interpret", "tile", "dot_mode"),
+    static_argnames=(
+        "kcfg", "scfg", "interpret", "tile", "dot_mode", "vmem_limit_mb"
+    ),
 )
 def two_stage_fused(
     params,
@@ -132,8 +135,9 @@ def two_stage_fused(
     kcfg: KalmanConfig = KalmanConfig(),
     scfg: StftConfig = StftConfig(),
     interpret: bool = False,
-    tile: int = 128,
+    tile: int = 256,
     dot_mode: str = "mixed",
+    vmem_limit_mb: int | None = 100,
 ) -> dict[str, jax.Array]:
     """Full two-stage AEC, one kernel: wavs in -> {wav, linear_wav, mask}."""
     batch, n = far.shape
@@ -223,6 +227,12 @@ def two_stage_fused(
             pltpu.VMEM((hop, tile), jnp.float32),  # lin handoff
         ],
         interpret=interpret,
+        compiler_params=(
+            None if vmem_limit_mb is None
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+        ),
     )(
         tm(farb),
         tm(micb),

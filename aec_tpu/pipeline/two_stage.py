@@ -22,6 +22,34 @@ from aec_tpu.linear.nlms import nlms_cancel
 from aec_tpu.models.little_net import LittleNetParams, little_net_apply
 
 
+def _route_single_kernel(
+    *, backend, stage1, lin_cfg, fast_legacy, quality, normalize, p2, scfg, n
+) -> bool:
+    """True when the whole pipeline can run as ONE Pallas kernel.
+
+    v5e, batch 256 x 8.2 s, same-process A/B (kernels/pallas_two_stage.py):
+    single kernel mixed tile=256 = 12.83 ms vs 13.43 ms for the two-kernel
+    composition — the fast-mode win that makes this the default route. The
+    parity tier stays on the composition (23.5 vs 22.6 ms there). The legacy
+    ``fast=True`` all-DEFAULT tier keeps the composition too: the single
+    kernel's "mixed" runs the cancellation-critical dots at bf16_3x, which
+    would silently RAISE that path's precision.
+    """
+    return (
+        backend == "tpu"
+        and quality == "fast"
+        and not fast_legacy
+        and stage1 == "kalman"
+        and (lin_cfg is None or isinstance(lin_cfg, KalmanConfig))
+        and not normalize
+        and p2 == jax.lax.Precision.DEFAULT
+        and n % scfg.hop == 0
+        # same 2x-overlap geometry guard as the stage-2 kernel route below
+        and scfg.win_len == 2 * scfg.hop
+        and scfg.fft_len == scfg.win_len
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -58,7 +86,11 @@ def two_stage_cancel(
       ``Precision.HIGH``; measured ERLE-identical to the fp32 oracle on
       every scene), ``"fast"`` opts into per-op MIXED precision (-0.16 dB
       tail-ERLE worst case, only on scenes already >40 dB ERLE, ~1.2-1.3x
-      faster). See linear/kalman.kalman_cancel.
+      faster). See linear/kalman.kalman_cancel. Batched ``"fast"`` calls on
+      TPU run the WHOLE pipeline as a single Pallas kernel
+      (kernels/pallas_two_stage.py; 12.8 vs 13.4 ms for the two-kernel
+      composition at batch 256 x 8.2 s) — identical column ops, so the
+      waveform matches the composition at the same dot tiers.
     - stage-2 STFT/iSTFT run at ``stage2_precision`` = single-pass bf16 MXU
       by default: the enhanced waveform differs from HIGHEST by -50.9 dB SNR
       while the apply runs 2.0x faster (19.9 -> 9.85 ms at batch 256) — the
@@ -75,6 +107,18 @@ def two_stage_cancel(
     precision = jax.lax.Precision.DEFAULT if fast else None
     p2 = jax.lax.Precision.DEFAULT if fast else stage2_precision
     q1 = "fast" if fast else quality
+    if far.ndim == 2 and _route_single_kernel(
+        backend=jax.default_backend(), stage1=stage1, lin_cfg=lin_cfg,
+        fast_legacy=fast, quality=q1, normalize=normalize, p2=p2, scfg=scfg,
+        n=far.shape[-1],
+    ):
+        # batched only: single utterances keep the dedicated single-stream
+        # fused kernels (a batch tile of 1 would waste the whole lane axis)
+        from aec_tpu.kernels.pallas_two_stage import two_stage_fused
+
+        return two_stage_fused(
+            params, far, mic, erb, kcfg=lin_cfg or KalmanConfig(), scfg=scfg
+        )
     if stage1 == "kalman":
         lin = kalman_cancel(
             lin_cfg or KalmanConfig(), far, mic, block=scfg.hop,

@@ -39,6 +39,35 @@ def test_two_stage_fused_matches_composition(rng):
     )
 
 
+def test_single_kernel_route_predicate():
+    """Pin when two_stage_cancel(quality='fast') takes the ONE-kernel path:
+    TPU + fast + kalman + no normalize + default stage-2 precision +
+    hop-multiple length + 2x-overlap geometry — and nothing else."""
+    from aec_tpu.configs import NlmsConfig
+    from aec_tpu.dsp.stft import StftConfig
+    from aec_tpu.pipeline.two_stage import _route_single_kernel
+
+    base = dict(
+        backend="tpu", stage1="kalman", lin_cfg=None, fast_legacy=False,
+        quality="fast", normalize=False, p2=jax.lax.Precision.DEFAULT,
+        scfg=StftConfig(), n=16 * 256,
+    )
+    assert _route_single_kernel(**base)
+    assert _route_single_kernel(**{**base, "lin_cfg": KalmanConfig()})
+    for bad in (
+        {"backend": "cpu"},
+        {"quality": "parity"},
+        {"fast_legacy": True},
+        {"stage1": "nlms"},
+        {"lin_cfg": NlmsConfig()},
+        {"normalize": True},
+        {"p2": None},
+        {"n": 1000},
+        {"scfg": StftConfig(win_len=512, hop=128, fft_len=512)},
+    ):
+        assert not _route_single_kernel(**{**base, **bad}), bad
+
+
 def test_two_stage_cpu_keeps_xla_paths(rng):
     """On the CPU backend two_stage_cancel must NOT route to the TPU-only
     Pallas kernels (stage-1 scan carries state; stage-2 XLA apply)."""

@@ -131,6 +131,15 @@ def test_two_stage_quality_reaches_stage1(rng, monkeypatch):
             params, lw, fw, erb, scfg, normalize=normalize
         ),
     )
+    # batched quality='fast' routes the WHOLE pipeline to the single kernel
+    import aec_tpu.kernels.pallas_two_stage as pts
+
+    def tsstub(params, far, mic, erb, *, kcfg=None, scfg=None, **kw):
+        calls.append("single-kernel")
+        z = jnp.zeros_like(mic)
+        return {"wav": z, "linear_wav": z, "mask": z[..., :1]}
+
+    monkeypatch.setattr(pts, "two_stage_fused", tsstub)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     params = little_net_init(jax.random.PRNGKey(0))
@@ -140,7 +149,10 @@ def test_two_stage_quality_reaches_stage1(rng, monkeypatch):
     far, mic = _pair(rng, n=2560, batch=3)
     two_stage_cancel(params, far, mic, erb)
     two_stage_cancel(params, far, mic, erb, quality="fast")
-    assert calls == ["high", "mixed"]
+    # the legacy all-DEFAULT fast=True tier keeps the composition (its
+    # explicit precision routes stage-1 to the scan, not any kernel)
+    two_stage_cancel(params, far, mic, erb, fast=True)
+    assert calls == ["high", "single-kernel"]
 
 
 def test_two_stage_nondefault_geometry_falls_back(rng, monkeypatch):
