@@ -58,7 +58,7 @@ from aec_tpu.kernels import precision as prec
 
 def _kernel(
     kcfg: KalmanConfig, scfg: StftConfig, e_bands: int, tile: int, l: int,
-    t_blocks: int, dot_mode: str,
+    t_blocks: int, dot_mode: str, unroll: int,
 ):
     hop = scfg.hop
     high = dot_mode == "high"
@@ -93,29 +93,35 @@ def _kernel(
             s1_state[2][:] = jnp.full_like(s1_state[2], kcfg.init_p)
             s1_state[5][:] = jnp.full_like(s1_state[5], kcfg.psi_floor)
 
-        far_b = far_ref[0, 0]  # (hop, tile); zeros at the t == T flush step
+        # ``unroll`` sequential hops per grid step (amortizes the grid
+        # bookkeeping exactly like the separate bl kernels); outputs are
+        # SLOT-ALIGNED: slot idx holds the enhanced block idx-1 (stage-2's
+        # one-frame lag), sliced off on the host.
+        for u in range(unroll):
+            idx = t * unroll + u
+            far_b = far_ref[0, u]  # (hop, tile); zeros past the input
 
-        # stage 1: one Kalman block update (skipped on the flush step); the
-        # echo-cancelled block is handed to stage 2 through VMEM (lin_sc)
-        @pl.when(t < t_blocks)
-        def _stage1():
-            e_blk = bl.kalman_block_step(
-                kcfg, l, tile, s1_dots, s1c, s1_state, far_b, d_ref[0, 0]
+            # stage 1: one Kalman block update (skipped on the flush step);
+            # the cancelled block is handed to stage 2 through VMEM (lin_sc)
+            @pl.when(idx < t_blocks)
+            def _stage1(far_b=far_b, u=u, idx=idx):
+                e_blk = bl.kalman_block_step(
+                    kcfg, l, tile, s1_dots, s1c, s1_state, far_b, d_ref[0, u]
+                )
+                lin_sc[:] = e_blk
+                lin_ref[0, u] = e_blk
+
+            @pl.when(idx == t_blocks)
+            def _flush_zero():
+                lin_sc[:] = jnp.zeros_like(lin_sc)
+
+            # stage 2: LittleNet frame step on the in-VMEM stage-1 block
+            out_block, mask = bl.stage2_frame_step(
+                e_bands, hop, s2_dots, s2c, vecs,
+                (h, tail, prev_lin, prev_far), lin_sc[:], far_b,
             )
-            lin_sc[:] = e_blk
-            lin_ref[0, 0] = e_blk
-
-        @pl.when(t == t_blocks)
-        def _flush_zero():
-            lin_sc[:] = jnp.zeros_like(lin_sc)
-
-        # stage 2: LittleNet frame step on the in-VMEM stage-1 block
-        out_block, mask = bl.stage2_frame_step(
-            e_bands, hop, s2_dots, s2c, vecs, (h, tail, prev_lin, prev_far),
-            lin_sc[:], far_b,
-        )
-        mask_ref[0, 0] = mask
-        out_ref[0, 0] = out_block
+            mask_ref[0, u] = mask
+            out_ref[0, u] = out_block
 
     return kernel
 
@@ -123,7 +129,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kcfg", "scfg", "interpret", "tile", "dot_mode", "vmem_limit_mb"
+        "kcfg", "scfg", "interpret", "tile", "dot_mode", "vmem_limit_mb",
+        "unroll",
     ),
 )
 def two_stage_fused(
@@ -138,6 +145,7 @@ def two_stage_fused(
     tile: int = 256,
     dot_mode: str = "mixed",
     vmem_limit_mb: int | None = 100,
+    unroll: int | None = None,
 ) -> dict[str, jax.Array]:
     """Full two-stage AEC, one kernel: wavs in -> {wav, linear_wav, mask}."""
     batch, n = far.shape
@@ -154,23 +162,27 @@ def two_stage_fused(
     e_bands = erb.shape[-1]
     l = kcfg.n_blocks
     t_blocks = n // hop
+    if unroll is None:
+        unroll = 2 if dot_mode == "mixed" else 1
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
-    # one trailing zero block: the stage-2 stft right pad / flush frame
+    t_total = t_blocks + 1  # one trailing flush step for stage-2's lag
+    t_alloc = t_total + (-t_total) % unroll
+    # trailing zero blocks: the stage-2 stft right pad / flush frame, plus
+    # unroll-alignment padding (stage-1 skips them via pl.when)
     farb = jnp.pad(
         far.astype(jnp.float32).reshape(batch, t_blocks, hop),
-        [(0, b_pad), (0, 1), (0, 0)],
+        [(0, b_pad), (0, t_alloc - t_blocks), (0, 0)],
     )
     micb = jnp.pad(
         mic.astype(jnp.float32).reshape(batch, t_blocks, hop),
-        [(0, b_pad), (0, 1), (0, 0)],
+        [(0, b_pad), (0, t_alloc - t_blocks), (0, 0)],
     )
     bt = (batch + b_pad) // tile
-    t_total = t_blocks + 1
 
     def tm(a):  # (B', T, hop) -> (bt, T, hop, tile)
-        a = a.reshape(bt, tile, t_total, hop)
+        a = a.reshape(bt, tile, t_alloc, hop)
         return jnp.transpose(a, (0, 2, 3, 1))
 
     s1_consts = bl.stage1_consts(block)
@@ -179,20 +191,11 @@ def two_stage_fused(
     vecs = bl.stage2_vecs(params, scfg)
 
     step = pl.BlockSpec(
-        (1, 1, hop, tile), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (1, 1, hop, tile),
-        lambda b, t: (b, jnp.maximum(t - 1, 0), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    lin_spec = pl.BlockSpec(
-        (1, 1, hop, tile),
-        lambda b, t: (b, jnp.minimum(t, t_blocks - 1), 0, 0),
+        (1, unroll, hop, tile), lambda b, t: (b, t, 0, 0),
         memory_space=pltpu.VMEM,
     )
     mask_spec = pl.BlockSpec(
-        (1, 1, e_bands, tile), lambda b, t: (b, t, 0, 0),
+        (1, unroll, e_bands, tile), lambda b, t: (b, t, 0, 0),
         memory_space=pltpu.VMEM,
     )
     whole = lambda r, c: pl.BlockSpec(  # noqa: E731
@@ -200,17 +203,17 @@ def two_stage_fused(
     )
 
     out, lin, mask = pl.pallas_call(
-        _kernel(kcfg, scfg, e_bands, tile, l, t_blocks, dot_mode),
-        grid=(bt, t_total),
+        _kernel(kcfg, scfg, e_bands, tile, l, t_blocks, dot_mode, unroll),
+        grid=(bt, t_alloc // unroll),
         in_specs=[step, step]
         + [whole(*c.shape) for c in s1_consts]
         + [whole(*c.shape) for c in s2_consts]
         + [whole(*v.shape) for v in vecs],
-        out_specs=[out_spec, lin_spec, mask_spec],
+        out_specs=[step, step, mask_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((bt, t_blocks, hop, tile), jnp.float32),
-            jax.ShapeDtypeStruct((bt, t_blocks, hop, tile), jnp.float32),
-            jax.ShapeDtypeStruct((bt, t_total, e_bands, tile), jnp.float32),
+            jax.ShapeDtypeStruct((bt, t_alloc, hop, tile), jnp.float32),
+            jax.ShapeDtypeStruct((bt, t_alloc, hop, tile), jnp.float32),
+            jax.ShapeDtypeStruct((bt, t_alloc, e_bands, tile), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((k, l * tile), jnp.float32),  # wr
@@ -241,11 +244,14 @@ def two_stage_fused(
         *vecs,
     )
 
-    def back(a, rows):  # (bt, T', rows, tile) -> (BATCH, T' * rows)
+    def back(a, rows):  # (bt, T', rows, tile) -> (BATCH, T', rows)
         a = jnp.transpose(a, (0, 3, 1, 2)).reshape(bt * tile, -1, rows)
         return a[:batch]
 
-    wav = back(out, hop).reshape(batch, -1)[:, :n]
-    lin_wav = back(lin, hop).reshape(batch, -1)[:, :n]
-    mask = back(mask, e_bands)
+    # slot-aligned outputs: slot idx holds the enhanced block idx-1 (the
+    # stage-2 lag), so the wav is slots [1, t_blocks]; lin slot idx IS
+    # block idx, valid for idx < t_blocks; trailing alignment pads dropped
+    wav = back(out, hop)[:, 1 : t_blocks + 1].reshape(batch, -1)[:, :n]
+    lin_wav = back(lin, hop)[:, :t_blocks].reshape(batch, -1)[:, :n]
+    mask = back(mask, e_bands)[:, :t_total]
     return {"wav": wav, "linear_wav": lin_wav, "mask": mask}

@@ -138,6 +138,38 @@ def main() -> None:
         print(f"stage2 stoi {name}: HIGHEST {s_hi:.4f} DEFAULT {s_lo:.4f}",
               flush=True)
 
+    # end-to-end routed fast path: the SINGLE two-stage kernel (what batched
+    # quality='fast' now routes to) vs the fast two-kernel composition — the
+    # routing must not cost quality on top of the already-graded mixed tier
+    from aec_tpu.kernels.pallas_stage2 import little_net_apply_fused_wav
+    from aec_tpu.kernels.pallas_two_stage import two_stage_fused
+
+    results["two_stage_route"] = {}
+    for name in ("double_talk", "speech_dtalk", "nonlinear", "bulk_delay"):
+        far, mic, near = scenes[name]
+        farb = jnp.asarray(np.stack([far] * 4))
+        micb = jnp.asarray(np.stack([mic] * 4))
+        single = np.asarray(
+            two_stage_fused(params, farb, micb, erb, tile=4)["wav"][0]
+        )
+        lin = kalman_cancel_fused_batched_bl(
+            kcfg, farb, micb, tile=4, dot_mode="mixed"
+        )["wav"]
+        comp = np.asarray(
+            little_net_apply_fused_wav(params, lin, farb, erb, scfg)["wav"][0]
+        )
+        snr = 10.0 * np.log10(
+            float(np.sum(comp**2))
+            / (float(np.sum((single - comp) ** 2)) + 1e-30)
+        )
+        row = {"snr_db_vs_composition": round(float(snr), 1)}
+        if near is not None and np.any(near):
+            row["stoi_delta"] = round(
+                float(stoi(near, single)) - float(stoi(near, comp)), 5
+            )
+        results["two_stage_route"][name] = row
+        print("two_stage_route", name, row, flush=True)
+
     print(json.dumps(results))
 
 

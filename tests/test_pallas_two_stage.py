@@ -11,7 +11,11 @@ from aec_tpu.models.little_net import little_net_init
 from aec_tpu.pipeline.two_stage import two_stage_cancel
 
 
-def test_two_stage_fused_matches_composition(rng):
+import pytest
+
+
+@pytest.mark.parametrize("unroll", [1, 2])
+def test_two_stage_fused_matches_composition(rng, unroll):
     params = little_net_init(jax.random.PRNGKey(5))
     erb = jnp.asarray(erb_filterbank())
     b, n = 3, 20 * 256
@@ -27,7 +31,7 @@ def test_two_stage_fused_matches_composition(rng):
     )
     got = two_stage_fused(
         params, jnp.asarray(far), jnp.asarray(mic), erb,
-        interpret=True, tile=2, dot_mode="high",
+        interpret=True, tile=2, dot_mode="high", unroll=unroll,
     )
     for key in ("wav", "linear_wav"):
         w, g = np.asarray(want[key]), np.asarray(got[key])
