@@ -173,6 +173,33 @@ def check(routing_only: bool = False) -> int:
             )
             if "tpu_custom_call" not in hlo:
                 failures.append(f"{name}: fused kernel NOT in lowered HLO")
+
+        # batched two-stage routing: quality='fast' must lower to ONE fused
+        # kernel (the single two-stage kernel), 'parity' to the two-kernel
+        # composition (stage-1 high + fused stage-2)
+        from aec_tpu.dsp.erb import erb_filterbank
+        from aec_tpu.models.little_net import little_net_init
+        from aec_tpu.pipeline.two_stage import two_stage_cancel
+
+        params = little_net_init(jax.random.PRNGKey(0))
+        erb = jnp.asarray(erb_filterbank())
+        farb = jnp.zeros((8, 4096), jnp.float32)
+        for q, want in (("fast", 1), ("parity", 2)):
+            hlo = (
+                jax.jit(
+                    lambda f, m, q=q: two_stage_cancel(
+                        params, f, m, erb, quality=q
+                    )["wav"]
+                )
+                .lower(farb, farb)
+                .as_text()
+            )
+            got = hlo.count("tpu_custom_call")
+            if got != want:
+                failures.append(
+                    f"two_stage quality={q}: {got} fused kernels in lowered"
+                    f" HLO, expected {want}"
+                )
         print(json.dumps({"routing": "fail" if failures else "ok"}), flush=True)
         if not routing_only:
             from benchmarks.baseline_configs import BENCHES
