@@ -80,9 +80,41 @@ def complex_lstm_init(key, input_dim: int, hidden: int, dtype=jnp.float32):
 
 
 def complex_lstm_scan(params, real: jax.Array, imag: jax.Array):
-    """([B,T,I/2], [B,T,I/2]) -> ([B,T,H/2], [B,T,H/2])."""
-    r2r, _ = lstm_scan(params["real"], real)
-    r2i, _ = lstm_scan(params["imag"], real)
-    i2r, _ = lstm_scan(params["real"], imag)
-    i2i, _ = lstm_scan(params["imag"], imag)
+    """([B,T,I/2], [B,T,I/2]) -> ([B,T,H/2], [B,T,H/2]).
+
+    The reference's naive form (dccrn.py:434-442) is four independent LSTM
+    passes (real/imag params x real/imag inputs) cross-combined as
+    (r2r - i2i, i2r + r2i). All four share the time axis, so they fold into
+    ONE ``lax.scan`` whose recurrence is a single batched matmul: the group
+    axis g stacks the two parameter sets, the batch axis stacks the two
+    inputs — four skinny (B,H)@(H,4H) products become one
+    (2,2B,H)@(2,H,4H) per step, quartering the sequential step count.
+    Measured on v5e (DCCRN single-utterance enhancement, batch 1): the
+    sequential scan overhead dominates, so this is a direct wall-clock cut.
+    Numerics are op-identical to the four separate scans.
+    """
+    b, t, _ = real.shape
+    hidden = params["real"]["w_hh"].shape[-1]
+    w_ih = jnp.stack([params["real"]["w_ih"], params["imag"]["w_ih"]])
+    w_hh = jnp.stack([params["real"]["w_hh"], params["imag"]["w_hh"]])
+    b_ih = jnp.stack([params["real"]["b_ih"], params["imag"]["b_ih"]])
+    b_hh = jnp.stack([params["real"]["b_hh"], params["imag"]["b_hh"]])
+    x2 = jnp.concatenate([real, imag], axis=0)  # (2B, T, I)
+    # input projection for all four paths hoisted into one batched matmul
+    x_proj = jnp.einsum("bti,gji->gbtj", x2, w_ih) + b_ih[:, None, None, :]
+
+    def step(carry, xp_t):  # xp_t (2, 2B, 4H)
+        hh, cc = carry
+        gates = xp_t + jnp.einsum("gbh,gjh->gbj", hh, w_hh)
+        gates = gates + b_hh[:, None, :]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        cc = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(g)
+        hh = jax.nn.sigmoid(o) * jnp.tanh(cc)
+        return (hh, cc), hh
+
+    h0 = jnp.zeros((2, 2 * b, hidden), real.dtype)
+    _, ys = jax.lax.scan(step, (h0, h0), jnp.moveaxis(x_proj, 2, 0))
+    ys = jnp.moveaxis(ys, 0, 2)  # (2, 2B, T, H)
+    r2r, i2r = ys[0, :b], ys[0, b:]
+    r2i, i2i = ys[1, :b], ys[1, b:]
     return r2r - i2i, i2r + r2i
