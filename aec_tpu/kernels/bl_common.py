@@ -44,6 +44,52 @@ def make_lbcast(l: int):
     return lbcast
 
 
+def stage1_dots(dot_mode: str):
+    """The (dot_x, dot_y, dot_e, dot_c, dot_fb) tuple for a stage-1 tier.
+
+    Pass counts per MXU matmul (x=far analysis, y=echo synthesis, e=residual
+    analysis, c/fb=factored constraint head/tail):
+
+    ========  ==  ==  ==  ==  ==
+    mode       x   y   e   c  fb
+    ========  ==  ==  ==  ==  ==
+    high       3   3   3   3   3   parity oracle tier (== Precision.HIGH)
+    balanced   3   3   1   2   2   production ``quality="parity"`` route
+    mixed      3   3   1   1   1   production ``quality="fast"`` route
+    bf16       1   1   1   1   1
+    native     fp32 via Mosaic precision=HIGHEST (~6-pass; oracle only)
+    ========  ==  ==  ==  ==  ==
+
+    The balanced tier is built on two on-chip findings (ab_perop*.py,
+    graded in validate_precision.py): (1) the mixed tier's -0.16 dB
+    worst-case ERLE lives entirely in the constraint pair — the residual
+    dot at 1-pass costs nothing; (2) within the constraint, only the
+    MATRIX rounding matters (systematic projection-operator bias that
+    accumulates in W), so the 2-pass matrix-exact split
+    (precision.dot_mat2_lhs) recovers the full 3-pass quality at 2/3 the
+    constraint cost.
+    """
+    if dot_mode == "native":
+        return (
+            prec.dot_native_lhs, prec.dot_native_lhs_k1, prec.dot_native_lhs,
+            prec.dot_native_lhs_k1, prec.dot_native_lhs,
+        )
+    if dot_mode not in ("high", "balanced", "mixed", "bf16"):
+        raise ValueError(f"unknown stage-1 dot_mode {dot_mode!r}")
+    high = dot_mode == "high"
+    hi3 = dot_mode in ("high", "balanced", "mixed")
+    bal = dot_mode == "balanced"
+    return (
+        prec.dot_high_lhs if hi3 else prec.dot_fast_lhs,
+        prec.dot_high_lhs_k1 if hi3 else prec.dot_fast_lhs_k1,
+        prec.dot_high_lhs if high else prec.dot_fast_lhs,
+        prec.dot_high_lhs_k1 if high
+        else (prec.dot_mat2_lhs_k1 if bal else prec.dot_fast_lhs_k1),
+        prec.dot_high_lhs if high
+        else (prec.dot_mat2_lhs if bal else prec.dot_fast_lhs),
+    )
+
+
 def _plain(c, native=False):
     if native:
         # native-HIGHEST mode keeps the matrix in f32 (Mosaic honors
@@ -159,13 +205,18 @@ def stage2_vecs(params, cfg) -> list[jax.Array]:
 def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b):
     """One batched PBFD-Kalman block update on batch-in-lanes refs.
 
-    ``dots``  = (dot_x, dot_y, dot_r, dot_c) — the per-tier matmul fns;
+    ``dots``  = (dot_x, dot_y, dot_e, dot_c, dot_fb) — the per-tier matmul
+    fns: far-frame analysis, echo-estimate synthesis, residual analysis,
+    constraint head (k1), constraint tail. The e/c/fb split exists because
+    the three sites have DIFFERENT precision sensitivity (measured on chip,
+    benchmarks/ab_perop*.py): the constraint pair carries the mixed tier's
+    ERLE loss (systematic projection bias), the residual dot none of it.
     ``consts`` = the 24-tuple from :func:`stage1_consts` (as kernel refs);
     ``state`` = (wr, wi, p, xbr, xbi, psi, fprev) scratch refs.
     Mutates the state refs; returns the echo-cancelled block (hop, tile).
     Equations: linear/kalman.kalman_step.
     """
-    dot_x, dot_y, dot_r, dot_c = dots
+    dot_x, dot_y, dot_e, dot_c, dot_fb = dots
     (fwr_hi, fwr_lo, fwi_hi, fwi_lo,
      itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
      fr_hi, fr_lo, fi_hi, fi_lo,
@@ -199,8 +250,8 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b):
         iti_hi, iti_lo, iti_last, yi
     )
     e_blk = d_b - y_blk  # (block, tile)
-    er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
-    ei = dot_r(fi_hi, fi_lo, e_blk)
+    er = dot_e(fr_hi, fr_lo, e_blk)  # (K, tile)
+    ei = dot_e(fi_hi, fi_lo, e_blk)
 
     psi_new = jnp.maximum(obs * psi[:] + (1.0 - obs) * (er * er + ei * ei), floor)
     psi[:] = psi_new
@@ -214,8 +265,8 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b):
     t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
         ihi_hi, ihi_lo, ihi_last, gi
     )
-    wr[:] = wr_p + dot_r(fbr_hi, fbr_lo, t_blk)
-    wi[:] = wi_p + dot_r(fbi_hi, fbi_lo, t_blk)
+    wr[:] = wr_p + dot_fb(fbr_hi, fbr_lo, t_blk)
+    wi[:] = wi_p + dot_fb(fbi_hi, fbi_lo, t_blk)
     p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
     return e_blk
 

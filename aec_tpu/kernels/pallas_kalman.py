@@ -82,8 +82,11 @@ def _kernel(cfg: KalmanConfig, k: int, block: int, unroll: int, dot_mode: str):
     obs, floor = cfg.obs_smooth, cfg.psi_floor
     # "mixed": only the cancellation-critical y transform runs bf16_3x
     # (see linear/kalman.kalman_step docstring); residual/update run 1-pass.
-    dot_y = prec.dot_high if dot_mode in ("high", "mixed") else prec.dot_fast
-    dot_r = prec.dot_high if dot_mode == "high" else prec.dot_fast
+    # not matmul-bound here: "balanced" just takes the full 3-pass tier
+    dot_y = prec.dot_high if dot_mode != "bf16" else prec.dot_fast
+    dot_r = (
+        prec.dot_high if dot_mode in ("high", "balanced") else prec.dot_fast
+    )
 
     def kernel(x_ref, d_ref, inv_hi, inv_lo, fwd_hi, fwd_lo, con_hi, con_lo,
                e_ref, wr, wi, p, xb, psi):
@@ -226,8 +229,11 @@ def _kernel_batched(
     obs, floor = cfg.obs_smooth, cfg.psi_floor
     # "mixed": only the cancellation-critical y transform runs bf16_3x
     # (see linear/kalman.kalman_step docstring); residual/update run 1-pass.
-    dot_y = prec.dot_high if dot_mode in ("high", "mixed") else prec.dot_fast
-    dot_r = prec.dot_high if dot_mode == "high" else prec.dot_fast
+    # not matmul-bound here: "balanced" just takes the full 3-pass tier
+    dot_y = prec.dot_high if dot_mode != "bf16" else prec.dot_fast
+    dot_r = (
+        prec.dot_high if dot_mode in ("high", "balanced") else prec.dot_fast
+    )
 
     def kernel(x_ref, d_ref, inv_hi, inv_lo, fwd_hi, fwd_lo, con_hi, con_lo,
                e_ref, wr, wi, p, xb, psi):
@@ -432,30 +438,9 @@ def _kernel_batched_bl(
     stays VMEM-resident across the whole time grid as in the other fused
     kernels.
     """
-    if dot_mode == "native":
-        # true-fp32 dots via Mosaic's precision=HIGHEST (one IR op each;
-        # see precision.dot_native_lhs) — consts must be built with
-        # stage1_consts(native=True)
-        dots = (
-            prec.dot_native_lhs, prec.dot_native_lhs_k1,
-            prec.dot_native_lhs, prec.dot_native_lhs_k1,
-        )
-        dot_x, dot_y, dot_r, dot_c = dots
-    else:
-        dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
-        dot_x = (
-            prec.dot_high_lhs if dot_mode in ("high", "mixed")
-            else prec.dot_fast_lhs
-        )
-        dot_y = (
-            prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
-            else prec.dot_fast_lhs_k1
-        )
-        dot_c = (
-            prec.dot_high_lhs_k1 if dot_mode == "high"
-            else prec.dot_fast_lhs_k1
-        )
-        dots = (dot_x, dot_y, dot_r, dot_c)
+    # per-tier (dot_x, dot_y, dot_e, dot_c, dot_fb) — pass counts and the
+    # measured rationale for the "balanced" tier live in bl.stage1_dots
+    dots = bl.stage1_dots(dot_mode)
 
     def kernel(far_ref, d_ref, *args):
         consts = args[:24]

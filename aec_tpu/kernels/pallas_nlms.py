@@ -34,8 +34,11 @@ def _kernel(cfg: NlmsConfig, k: int, block: int, unroll: int, dot_mode: str):
     es, eps_rel, beta = cfg.err_smooth, cfg.eps_rel, cfg.beta
     # "mixed": only the cancellation-critical y transform runs bf16_3x
     # (see linear/kalman.kalman_step docstring); residual/update run 1-pass.
-    dot_y = prec.dot_high if dot_mode in ("high", "mixed") else prec.dot_fast
-    dot_r = prec.dot_high if dot_mode == "high" else prec.dot_fast
+    # single-stream kernels are not matmul-bound: "balanced" == "high" here
+    dot_y = prec.dot_high if dot_mode != "bf16" else prec.dot_fast
+    dot_r = (
+        prec.dot_high if dot_mode in ("high", "balanced") else prec.dot_fast
+    )
 
     def kernel(x_ref, d_ref, inv_hi, inv_lo, fwd_hi, fwd_lo, con_hi, con_lo,
                e_ref, wr, wi, xb, power, psi):
@@ -191,27 +194,11 @@ def _kernel_batched_bl(
     """
     ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
     es, eps_rel, beta = cfg.err_smooth, cfg.eps_rel, cfg.beta
-    if dot_mode == "native":
-        # true-fp32 dots via Mosaic precision=HIGHEST (see pallas_kalman /
-        # precision.dot_native_lhs); consts arrive in native f32 layout
-        dot_r = dot_x = prec.dot_native_lhs
-        dot_y = dot_c = prec.dot_native_lhs_k1
-    else:
-        dot_r = prec.dot_high_lhs if dot_mode == "high" else prec.dot_fast_lhs
-        dot_x = (
-            prec.dot_high_lhs if dot_mode in ("high", "mixed")
-            else prec.dot_fast_lhs
-        )
-        # K-contraction transforms: last (Nyquist) bin as an exact f32 rank-1
-        # update instead of MXU contraction padding 257 -> 384 (precision.py)
-        dot_y = (
-            prec.dot_high_lhs_k1 if dot_mode in ("high", "mixed")
-            else prec.dot_fast_lhs_k1
-        )
-        dot_c = (
-            prec.dot_high_lhs_k1 if dot_mode == "high"
-            else prec.dot_fast_lhs_k1
-        )
+    # per-tier (dot_x, dot_y, dot_e, dot_c, dot_fb) — K-contraction (k1)
+    # transforms split the last (Nyquist) bin as an exact f32 rank-1 update
+    # instead of MXU contraction padding 257 -> 384 (precision.py); pass
+    # counts and the "balanced" tier rationale live in bl.stage1_dots
+    dot_x, dot_y, dot_e, dot_c, dot_fb = bl.stage1_dots(dot_mode)
 
     lsum = bl.make_lsum(l, tile)
     lbcast = bl.make_lbcast(l)
@@ -261,8 +248,8 @@ def _kernel_batched_bl(
             )
             e_blk = d_ref[0, 0, 0, u] - y_blk  # (block, tile)
             e_ref[0, 0, 0, u] = e_blk
-            er = dot_r(fr_hi, fr_lo, e_blk)  # (K, tile)
-            ei = dot_r(fi_hi, fi_lo, e_blk)
+            er = dot_e(fr_hi, fr_lo, e_blk)  # (K, tile)
+            ei = dot_e(fi_hi, fi_lo, e_blk)
             psi_new = es * psi[:] + (1.0 - es) * (er * er + ei * ei)
             psi[:] = psi_new
 
@@ -279,8 +266,8 @@ def _kernel_batched_bl(
             t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
                 ihi_hi, ihi_lo, ihi_last, gi
             )
-            wr[:] = wr[:] + mu * dot_r(fbr_hi, fbr_lo, t_blk)
-            wi[:] = wi[:] + mu * dot_r(fbi_hi, fbi_lo, t_blk)
+            wr[:] = wr[:] + mu * dot_fb(fbr_hi, fbr_lo, t_blk)
+            wi[:] = wi[:] + mu * dot_fb(fbi_hi, fbi_lo, t_blk)
 
     return kernel
 

@@ -62,15 +62,12 @@ def _kernel(
 ):
     hop = scfg.hop
     high = dot_mode == "high"
-    # stage-1 tiers (pallas_kalman): analysis + cancellation-critical y
-    # always 3-pass; residual/constraint single-pass unless "high"
-    s1_dots = (
-        prec.dot_high_lhs,
-        prec.dot_high_lhs_k1,
-        prec.dot_high_lhs if high else prec.dot_fast_lhs,
-        prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1,
-    )
-    # stage-2 tiers (pallas_stage2): Precision.DEFAULT equivalent unless high
+    # stage-1 tiers: the shared per-mode (x, y, e, c, fb) tuple
+    # (bl.stage1_dots — "balanced" = parity-grade constraint at 2-pass)
+    s1_dots = bl.stage1_dots(dot_mode)
+    # stage-2 tiers (pallas_stage2): Precision.DEFAULT equivalent unless
+    # "high" — the production default at BOTH quality settings (graded 51 dB
+    # SNR / STOI delta <= 0.005; the post-filter is not cancellation-critical)
     s2_dots = (
         prec.dot_high_lhs if high else prec.dot_fast_lhs,
         prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1,
@@ -163,7 +160,7 @@ def two_stage_fused(
     l = kcfg.n_blocks
     t_blocks = n // hop
     if unroll is None:
-        unroll = 2 if dot_mode == "mixed" else 1
+        unroll = 2 if dot_mode in ("mixed", "balanced") else 1
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile

@@ -90,6 +90,49 @@ def dot_fast_lhs_k1(m_hi_ref, _m_lo_ref, m_last_ref, x):
     return body + m_last_ref[:] * x[-1:]
 
 
+def dot_mat2_lhs(m_hi_ref, m_lo_ref, x):
+    """2-pass MATRIX-EXACT ``m @ x``: ``m_hi@x_hi + m_lo@x_hi``.
+
+    The constant matrix is represented to bf16^2 (~16 mantissa bits, i.e.
+    effectively exact for DFT bases); the dynamic operand is rounded once to
+    bf16. On-chip A/B (benchmarks/ab_perop2.py): for the stage-1 constraint
+    projection this recovers the full bf16_3x quality — the 1-pass tier's
+    ERLE loss is the SYSTEMATIC projection-operator bias from rounding the
+    matrix (same non-causal leakage every step, accumulating in W), while
+    operand rounding is per-step gradient noise the adaptive loop averages
+    out. One fewer MXU pass than :func:`dot_high_lhs`."""
+    x_hi = x.astype(jnp.bfloat16)
+    return (
+        jnp.dot(m_hi_ref[:], x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(m_lo_ref[:], x_hi, preferred_element_type=jnp.float32)
+    )
+
+
+def dot_mat2_lhs_k1(m_hi_ref, m_lo_ref, m_last_ref, x):
+    """Matrix-exact 2-pass variant of :func:`dot_high_lhs_k1`."""
+    return dot_mat2_lhs(m_hi_ref, m_lo_ref, x[:-1]) + m_last_ref[:] * x[-1:]
+
+
+def dot_op2_lhs(m_hi_ref, m_lo_ref, x):
+    """2-pass OPERAND-EXACT ``m @ x``: ``m_hi@x_hi + m_hi@x_lo``.
+
+    Mirror ablation of :func:`dot_mat2_lhs` (matrix rounded once to bf16,
+    operand to bf16^2). Measured NOT sufficient for the constraint
+    projection — kept for the ablation column in
+    benchmarks/validate_precision.py."""
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(m_hi_ref[:], x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(m_hi_ref[:], x_lo, preferred_element_type=jnp.float32)
+    )
+
+
+def dot_op2_lhs_k1(m_hi_ref, m_lo_ref, m_last_ref, x):
+    """Matrix-bf16 2-pass variant of :func:`dot_high_lhs_k1`."""
+    return dot_op2_lhs(m_hi_ref, m_lo_ref, x[:-1]) + m_last_ref[:] * x[-1:]
+
+
 def dot_native_lhs(m_ref, _m_lo_ref, x):
     """TRUE-fp32 ``m @ x`` via Mosaic's native precision=HIGHEST lowering.
 

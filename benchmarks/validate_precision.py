@@ -73,6 +73,12 @@ def main() -> None:
             "fused_mixed": kalman_cancel_fused_batched_bl(
                 kcfg, farb, micb, tile=4, dot_mode="mixed"
             )["wav"][0],
+            # the quality="parity" production route: constraint pair at the
+            # 2-pass matrix-exact split, residual 1-pass (bl.stage1_dots;
+            # per-site sensitivity measured in ab_perop.py / ab_perop2.py)
+            "fused_balanced": kalman_cancel_fused_batched_bl(
+                kcfg, farb, micb, tile=4, dot_mode="balanced"
+            )["wav"][0],
             "scan_default": kalman_cancel(
                 kcfg, farb, micb, fused=False,
                 precision=jax.lax.Precision.DEFAULT,
