@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from aec_tpu.dsp import stft as stft_mod
 from aec_tpu.dsp.stft import StftConfig, split_complex
-from aec_tpu.ops.lstm import lstm_init, lstm_scan
+from aec_tpu.ops.lstm import lstm_cell, lstm_init, lstm_scan
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,12 +84,7 @@ def _unfold_bins(mag: jax.Array, n: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)
 
 
-def fullsubnet_masks(
-    params, mic_mag: jax.Array, ref_mag: jax.Array, cfg: FullSubNetConfig = FullSubNetConfig()
-) -> tuple[jax.Array, jax.Array]:
-    """Magnitudes [B, T, F] -> (mask_near, mask_echo) in [0, 1]^[B, T, F]."""
-    b, t, f = mic_mag.shape
-    # full-band stage
+def _fb_input(mic_mag, ref_mag, cfg: FullSubNetConfig):
     fb_parts = [mic_mag, ref_mag]
     if cfg.use_mel:
         from aec_tpu.dsp.mel import mel_filterbank
@@ -98,28 +93,85 @@ def fullsubnet_masks(
             mel_filterbank(cfg.mel_filters, cfg.stft.fft_len), dtype=mic_mag.dtype
         )
         fb_parts += [mic_mag @ mel, ref_mag @ mel]
-    fb_in = jnp.concatenate(fb_parts, axis=-1)  # [B, T, fb_input]
-    fb_seq, _ = lstm_scan(params["fb_lstm"], fb_in)
-    fb_emb = jax.nn.relu(
-        fb_seq @ params["fb_out"]["w"].T + params["fb_out"]["b"]
-    )  # [B, T, F]
+    return jnp.concatenate(fb_parts, axis=-1)  # [B, T, fb_input]
 
-    # sub-band stage: per-bin sequences, all bins batched into the scan
+
+def fullsubnet_masks(
+    params,
+    mic_mag: jax.Array,
+    ref_mag: jax.Array,
+    cfg: FullSubNetConfig = FullSubNetConfig(),
+    *,
+    fused: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Magnitudes [B, T, F] -> (mask_near, mask_echo) in [0, 1]^[B, T, F].
+
+    ``fused=True`` (default) runs BOTH LSTM stages in ONE ``lax.scan`` over
+    time: the full-band cell feeds its embedding straight into the sub-band
+    cell of the same step, so the frame axis is traversed once instead of
+    twice and the [B, T, F] embedding never round-trips HBM between scans.
+    The per-frame dependency chain is identical to the two-scan form (both
+    stages are causal), and the math is the same up to one re-association:
+    the sub-band input projection is split into the hoisted neighborhood
+    columns and the in-scan fb-embedding column (agreement ~1e-6; pinned by
+    tests/test_fullsubnet.py). ``fused=False`` keeps the reference-shaped
+    two-scan composition."""
+    b, t, f = mic_mag.shape
+    fb_in = _fb_input(mic_mag, ref_mag, cfg)
     n = cfg.neighborhood
-    sb_in = jnp.concatenate(
-        [
-            _unfold_bins(mic_mag, n),  # [B, T, F, 2n+1]
-            _unfold_bins(ref_mag, n),
-            fb_emb[..., None],
-        ],
-        axis=-1,
-    )  # [B, T, F, sb_input]
-    sb_in = jnp.transpose(sb_in, (0, 2, 1, 3)).reshape(b * f, t, cfg.sb_input)
-    sb_seq, _ = lstm_scan(params["sb_lstm"], sb_in)  # [B*F, T, H]
-    masks = jax.nn.sigmoid(
-        sb_seq @ params["sb_out"]["w"].T + params["sb_out"]["b"]
-    )  # [B*F, T, 2]
-    masks = masks.reshape(b, f, t, 2).transpose(0, 2, 1, 3)  # [B, T, F, 2]
+    nb = 2 * (2 * n + 1)  # hoistable neighborhood columns of the sb input
+    sb_nb = jnp.concatenate(
+        [_unfold_bins(mic_mag, n), _unfold_bins(ref_mag, n)], axis=-1
+    )  # [B, T, F, nb]
+
+    if not fused:
+        fb_seq, _ = lstm_scan(params["fb_lstm"], fb_in)
+        fb_emb = jax.nn.relu(
+            fb_seq @ params["fb_out"]["w"].T + params["fb_out"]["b"]
+        )  # [B, T, F]
+        sb_in = jnp.concatenate([sb_nb, fb_emb[..., None]], axis=-1)
+        sb_in = jnp.transpose(sb_in, (0, 2, 1, 3)).reshape(b * f, t, cfg.sb_input)
+        sb_seq, _ = lstm_scan(params["sb_lstm"], sb_in)  # [B*F, T, H]
+        masks = jax.nn.sigmoid(
+            sb_seq @ params["sb_out"]["w"].T + params["sb_out"]["b"]
+        )  # [B*F, T, 2]
+        masks = masks.reshape(b, f, t, 2).transpose(0, 2, 1, 3)  # [B, T, F, 2]
+        return masks[..., 0], masks[..., 1]
+
+    fb_p, sb_p = params["fb_lstm"], params["sb_lstm"]
+    h_fb = cfg.fb_hidden
+    h_sb = cfg.sb_hidden
+    # hoisted input projections (one MXU matmul each over all frames)
+    xp_fb = jnp.matmul(fb_in, fb_p["w_ih"].T) + fb_p["b_ih"]  # [B, T, 4Hfb]
+    xp_sb = (
+        jnp.matmul(sb_nb, sb_p["w_ih"][:, :nb].T) + sb_p["b_ih"]
+    )  # [B, T, F, 4Hsb]
+    w_fb_col = sb_p["w_ih"][:, nb]  # (4Hsb,) — the fb-embedding column
+
+    def step(carry, xp_t):
+        hf, cf, hs, cs = carry
+        xp_fb_t, xp_sb_t = xp_t  # [B, 4Hfb], [B, F, 4Hsb]
+        hf, cf = lstm_cell(fb_p, hf, cf, xp_fb_t)
+        fb_emb_t = jax.nn.relu(
+            hf @ params["fb_out"]["w"].T + params["fb_out"]["b"]
+        )  # [B, F]
+        sb_x = (xp_sb_t + fb_emb_t[..., None] * w_fb_col).reshape(b * f, 4 * h_sb)
+        hs, cs = lstm_cell(sb_p, hs, cs, sb_x)
+        m_t = jax.nn.sigmoid(
+            hs @ params["sb_out"]["w"].T + params["sb_out"]["b"]
+        )  # [B*F, 2]
+        return (hf, cf, hs, cs), m_t
+
+    carry0 = (
+        jnp.zeros((b, h_fb), mic_mag.dtype),
+        jnp.zeros((b, h_fb), mic_mag.dtype),
+        jnp.zeros((b * f, h_sb), mic_mag.dtype),
+        jnp.zeros((b * f, h_sb), mic_mag.dtype),
+    )
+    _, masks = jax.lax.scan(
+        step, carry0, (jnp.swapaxes(xp_fb, 0, 1), jnp.swapaxes(xp_sb, 0, 1))
+    )  # [T, B*F, 2]
+    masks = masks.reshape(t, b, f, 2).transpose(1, 0, 2, 3)  # [B, T, F, 2]
     return masks[..., 0], masks[..., 1]
 
 

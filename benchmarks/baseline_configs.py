@@ -424,20 +424,36 @@ def bench_training(small=False) -> dict:
 
 
 def bench_model_zoo(small=False) -> dict:
-    """Config #8 (round-3): single-utterance enhancement xRT for the
-    NON-flagship families (DCCRN default/v2 architecture, FullSubNet) —
-    the 'realized as working code' families now get on-chip costs
-    (reference lineage dccrn.py:453-594, models.py:417-443)."""
+    """Config #8 (round-3): single-utterance enhancement xRT for EVERY
+    non-flagship family in the zoo (DCCRN default/v2 architecture,
+    FullSubNet, repaired ATT-CCRN, TwoLayerGRU, DCT DNN/CNN) — the
+    'realized as working code' families all get on-chip costs (reference
+    lineage dccrn.py:453-594, models.py:417-443, attention_ccrn.py:275-422,
+    ERB.py:74-200, networks.py)."""
+    from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply, att_ccrn_init
     from aec_tpu.models.dccrn import DccrnConfig, dccrn_apply, dccrn_init
+    from aec_tpu.models.dct_net import (
+        DctCnnConfig,
+        DctDnnConfig,
+        cnn_apply,
+        cnn_init,
+        dnn_apply,
+        dnn_init,
+    )
     from aec_tpu.models.fullsubnet import (
         FullSubNetConfig,
         fullsubnet_apply,
         fullsubnet_init,
     )
+    from aec_tpu.models.two_layer_gru import two_layer_gru_apply, two_layer_gru_init
 
     rng = np.random.default_rng(7)
     n = (8 * SR if not small else SR) // 320 * 320
     counts = (1, 4) if not small else (1, 2)
+    out = {
+        "metric": "model_zoo_single_utt_xrt",
+        "unit": "x_realtime", "vs_baseline": None,
+    }
 
     dcfg = DccrnConfig()
     dparams, dstate = dccrn_init(jax.random.PRNGKey(0), dcfg)
@@ -445,6 +461,8 @@ def bench_model_zoo(small=False) -> dict:
         lambda f, m: dccrn_apply(dparams, dstate, m[None], f[None], dcfg)[0]["wav"],
         n, rng, counts=counts,
     )
+    out["value"] = round(xrt_d, 1)
+    out["dccrn"] = {"xrt": round(xrt_d, 1), "utt_ms": round(per_d * 1e3, 2)}
 
     fcfg = FullSubNetConfig()
     fparams = fullsubnet_init(jax.random.PRNGKey(1), fcfg)
@@ -452,12 +470,39 @@ def bench_model_zoo(small=False) -> dict:
         lambda f, m: fullsubnet_apply(fparams, m[None], f[None], fcfg)["wav"],
         n, rng, counts=counts,
     )
-    return {
-        "metric": "model_zoo_single_utt_xrt", "value": round(xrt_d, 1),
-        "unit": "x_realtime", "vs_baseline": None,
-        "dccrn": {"xrt": round(xrt_d, 1), "utt_ms": round(per_d * 1e3, 2)},
-        "fullsubnet": {"xrt": round(xrt_f, 1), "utt_ms": round(per_f * 1e3, 2)},
-    }
+    out["fullsubnet"] = {"xrt": round(xrt_f, 1), "utt_ms": round(per_f * 1e3, 2)}
+
+    acfg = AttCcrnConfig()
+    aparams, astate = att_ccrn_init(jax.random.PRNGKey(2), acfg)
+    n_a = n // 256 * 256
+    xrt_a, _, per_a = _sequential_device_xrt(
+        lambda f, m: att_ccrn_apply(aparams, astate, m[None], f[None], acfg)[0]["wav"],
+        n_a, rng, counts=counts,
+    )
+    out["att_ccrn"] = {"xrt": round(xrt_a, 1), "utt_ms": round(per_a * 1e3, 2)}
+
+    erb = jnp.asarray(erb_filterbank())
+    gparams = two_layer_gru_init(jax.random.PRNGKey(3))
+    xrt_g, _, per_g = _sequential_device_xrt(
+        lambda f, m: two_layer_gru_apply(gparams, m[None], f[None], erb)["wav"],
+        n_a, rng, counts=counts,
+    )
+    out["two_layer_gru"] = {"xrt": round(xrt_g, 1), "utt_ms": round(per_g * 1e3, 2)}
+
+    nparams = dnn_init(jax.random.PRNGKey(4))
+    xrt_n, _, per_n = _sequential_device_xrt(
+        lambda f, m: dnn_apply(nparams, m[None], DctDnnConfig())["wav"],
+        n_a, rng, counts=counts,
+    )
+    out["dct_dnn"] = {"xrt": round(xrt_n, 1), "utt_ms": round(per_n * 1e3, 2)}
+
+    cparams = cnn_init(jax.random.PRNGKey(5))
+    xrt_c, _, per_c = _sequential_device_xrt(
+        lambda f, m: cnn_apply(cparams, m[None], DctCnnConfig())["wav"],
+        n_a, rng, counts=counts,
+    )
+    out["dct_cnn"] = {"xrt": round(xrt_c, 1), "utt_ms": round(per_c * 1e3, 2)}
+    return out
 
 
 BENCHES = {

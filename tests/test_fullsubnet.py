@@ -78,3 +78,25 @@ def test_fullsubnet_loss_trains(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fused_single_scan_matches_two_scan_composition(rng):
+    """The fused one-scan path (default) must agree with the two-scan
+    reference-shaped composition on both masks, with and without mel."""
+    from aec_tpu.models.fullsubnet import fullsubnet_masks
+
+    for cfg in (
+        FullSubNetConfig(fb_hidden=32, sb_hidden=16, neighborhood=3),
+        FullSubNetConfig(fb_hidden=32, sb_hidden=16, use_mel=True),
+    ):
+        params = fullsubnet_init(jax.random.PRNGKey(2), cfg)
+        mic = jnp.asarray(
+            np.abs(rng.standard_normal((2, 23, cfg.n_freqs))).astype(np.float32)
+        )
+        ref = jnp.asarray(
+            np.abs(rng.standard_normal((2, 23, cfg.n_freqs))).astype(np.float32)
+        )
+        near_a, echo_a = fullsubnet_masks(params, mic, ref, cfg, fused=False)
+        near_b, echo_b = fullsubnet_masks(params, mic, ref, cfg, fused=True)
+        np.testing.assert_allclose(near_a, near_b, atol=2e-6)
+        np.testing.assert_allclose(echo_a, echo_b, atol=2e-6)
