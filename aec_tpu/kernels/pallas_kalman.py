@@ -510,13 +510,14 @@ def kalman_filter_fused_batched_bl(
         #   high : 64/u2 25.3 | 128/u2 20.5 | 128/u1 20.3 | 256/u1 18.7
         #          | 256/u2 21.6  -> default 256/u1
         #   mixed: 128/u2 12.6 | 256/u2 11.4 | 256/u1 12.3 -> 256/u2
+        #   balanced: 256/u1 15.9 | 256/u2 17.9 -> 256/u1
         #   (NLMS mirrors: high 256/u1 17.7, mixed 256/u2 9.2)
         # "native" (Mosaic precision=HIGHEST, exact fp32): best 128/u1 =
         # 32.1 ms — slower than "high" despite one IR op per dot (HIGHEST
         # is a ~6-pass bf16 expansion), so it stays the oracle mode.
         tile = 128 if dot_mode == "native" else 256
     if unroll is None:
-        unroll = 1 if dot_mode in ("high", "native") else 2
+        unroll = 1 if dot_mode in ("high", "native", "balanced") else 2
     if vmem_limit_mb is None:
         # the cap VALUE matters beyond feasibility (64 MB cap: 22.3 ms at
         # high/128/u2 vs 20.5 at 100 MB — the scheduler uses the headroom)

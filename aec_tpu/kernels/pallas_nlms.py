@@ -304,7 +304,8 @@ def nlms_filter_fused_batched_bl(
         # mixed 256/u2 = 9.2 ms (was 128/u2 11.7). "native" stays 128/u1.
         tile = 128 if dot_mode == "native" else 256
     if unroll is None:
-        unroll = 1 if dot_mode in ("high", "native") else 2
+        # balanced: u1 9.2 ms vs u2 16.1 per 256 x 8.2 s (ab_balanced_time)
+        unroll = 1 if dot_mode in ("high", "native", "balanced") else 2
     if vmem_limit_mb is None:
         vmem_limit_mb = 100
 

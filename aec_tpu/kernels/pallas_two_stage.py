@@ -160,7 +160,9 @@ def two_stage_fused(
     l = kcfg.n_blocks
     t_blocks = n // hop
     if unroll is None:
-        unroll = 2 if dot_mode in ("mixed", "balanced") else 1
+        # balanced strongly prefers u1 (13.3 vs 17.2 ms per 256 x 8.2 s),
+        # mixed prefers u2 (13.5 vs ~14) — ab_balanced_time A/Bs
+        unroll = 2 if dot_mode == "mixed" else 1
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile

@@ -155,17 +155,24 @@ def kalman_cancel(
     ``quality`` names the north-star ERLE budget (BASELINE.md: <= 0.1 dB
     deviation vs the fp32 reference pipeline) as a first-class contract:
 
-    - ``"parity"`` (DEFAULT): every cancellation-relevant matmul runs in a
-      >= bf16_3x decomposition — fused kernels at ``dot_mode="high"``, the
-      XLA scan at ``Precision.HIGH``. Measured ERLE-identical (+-0.00 dB)
-      to the fp32 oracle on every scene in benchmarks/validate_precision.py,
-      i.e. provably inside the budget.
+    - ``"parity"`` (DEFAULT): batched fused kernels run ``dot_mode=
+      "balanced"`` — y/far-analysis dots full bf16_3x, the constraint pair
+      as the 2-pass MATRIX-exact split, the residual dot 1-pass
+      (bl_common.stage1_dots; the split follows the on-chip sensitivity
+      A/Bs in benchmarks/ab_perop*.py: ALL of mixed's ERLE loss is the
+      constraint's matrix rounding). Measured <= 0.006 dB tail-ERLE
+      deviation vs the fp32 oracle on all 8 battery scenes
+      (benchmarks/validate_precision.py, fused_balanced column) at 1.23x
+      the throughput of the all-3-pass "high" tier (15.9 vs 19.5 ms per
+      256 x 8.2 s). The single-stream kernel and the XLA scan keep the
+      full >= bf16_3x tier ("high" / ``Precision.HIGH``, +-0.00 dB) —
+      they are not matmul-bound, balanced buys nothing there.
     - ``"fast"``: per-op MIXED precision — the cancellation-critical y
       matmul stays HIGH, residual/update drop to single-pass bf16
       (overlap_save._STAGE1_DEFAULT; fused ``dot_mode="mixed"``). Measured
       -0.16 dB tail-ERLE worst case, ONLY on scenes already >40 dB ERLE,
-      for ~1.2-1.3x throughput — outside the strict budget, so it is the
-      opt-in mode.
+      for ~1.2-1.4x throughput over parity — outside the strict budget, so
+      it is the opt-in mode.
 
     An explicit ``precision`` overrides the knob on the scan path: a single
     Precision (HIGH/HIGHEST) applies end-to-end (analysis STFT included —
@@ -191,14 +198,17 @@ def kalman_cancel(
             constrain and precision is None and jax.default_backend() == "tpu"
         )
     if fused:
-        dot_mode = "high" if quality == "parity" else "mixed"
         if far.ndim == 1:
             from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused
 
+            # single-stream: "balanced" degenerates to "high" in-kernel
+            # (not matmul-bound) — route "high" for clarity
+            dot_mode = "high" if quality == "parity" else "mixed"
             out = kalman_cancel_fused(cfg, far, mic, block=block, dot_mode=dot_mode)
         else:
             from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
 
+            dot_mode = "balanced" if quality == "parity" else "mixed"
             out = kalman_cancel_fused_batched_bl(
                 cfg, far, mic, block=block, dot_mode=dot_mode
             )

@@ -143,15 +143,25 @@ def nlms_cancel(
     ``far``/``mic``: [n] or [B, n]. Returns echo-cancelled ``wav`` (same
     length as input) plus the final filter state under ``state``.
 
-    ``quality``: the north-star <=0.1 dB ERLE budget as a named contract —
-    ``"parity"`` (DEFAULT) keeps every cancellation-relevant matmul at
-    >= bf16_3x (fused ``dot_mode="high"`` / scan ``Precision.HIGH``;
-    measured ERLE-identical to the fp32 oracle on every scene), ``"fast"``
-    opts into per-op MIXED precision (-0.16 dB tail-ERLE worst case, only
-    on >40 dB-ERLE scenes, ~1.2-1.3x faster). See kalman.kalman_cancel for
-    the full table; an explicit ``precision`` (single Precision applied
-    end-to-end incl. the analysis STFT, or a ``(p_y, p_e, p_constrain)``
-    tuple) overrides the knob on the scan path.
+    ``quality``: the north-star <=0.1 dB ERLE budget as a named contract.
+    For NLMS the two settings route IDENTICALLY — batched fused kernels at
+    ``dot_mode="balanced"`` (2-pass matrix-exact constraint), single-stream
+    / scan at the full bf16_3x tier (``"high"`` / ``Precision.HIGH``).
+    There is no safe faster tier here: the per-op MIXED tier that gives
+    Kalman its ``"fast"`` mode LOSES 18-26 dB tail ERLE on NLMS's
+    deep-convergence scenes (echo_only 88 dB, long_rir, bulk_delay —
+    benchmarks/validate_precision.py ``nlms_erle``; bf16 matrix rounding in
+    the 1-pass constraint floors the achievable null depth, which only
+    binds when the filter converges far deeper than Kalman's ~47 dB).
+    Mixed would be ~1.4x faster (10.5 vs 14.5 ms per 256 x 8.2 s,
+    same-process ab_balanced_time) but that is not a trade ``"fast"`` is
+    allowed to make silently; callers who accept the ERLE floor can pass
+    the kernel's ``dot_mode="mixed"`` explicitly. ``quality`` is kept in
+    the signature for API symmetry with kalman_cancel. Measured balanced
+    worst case: -0.078 dB on an 88 dB scene, inside the budget on all 8
+    battery scenes. An explicit ``precision`` (single Precision
+    applied end-to-end incl. the analysis STFT, or a ``(p_y, p_e,
+    p_constrain)`` tuple) overrides the knob on the scan path.
 
     ``fused``: whole recursion as one Pallas TPU kernel, VMEM-resident state
     (kernels/pallas_nlms.py; same design that made the Kalman single-stream
@@ -167,19 +177,22 @@ def nlms_cancel(
             constrain and precision is None and jax.default_backend() == "tpu"
         )
     if fused:
-        dot_mode = "high" if quality == "parity" else "mixed"
+        # NO mixed tier for NLMS at either quality — see the docstring
+        # (18-26 dB tail-ERLE loss on deep-convergence scenes)
         if far.ndim == 1:
             from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused
 
-            out = nlms_cancel_fused(cfg, far, mic, block=block, dot_mode=dot_mode)
+            out = nlms_cancel_fused(cfg, far, mic, block=block, dot_mode="high")
         else:
             from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused_batched_bl
 
             out = nlms_cancel_fused_batched_bl(
-                cfg, far, mic, block=block, dot_mode=dot_mode
+                cfg, far, mic, block=block, dot_mode="balanced"
             )
         return {"wav": out["wav"], "state": None}
-    if precision is None and quality == "parity":
+    if precision is None:
+        # both qualities: the scan's per-op mixed tier is unsafe for NLMS
+        # for the same constraint-rounding reason as the kernels'
         precision = jax.lax.Precision.HIGH
     batched = far.ndim == 2
     if not batched:

@@ -156,7 +156,14 @@ def _stream_step_core(
     # (default) runs the step matmuls at Precision.HIGH (ERLE-identical to
     # fp32), "fast" at the per-op MIXED default (-0.16 dB worst case,
     # ~1.4x serving throughput — benchmarks 'concurrent_streams').
-    prec = jax.lax.Precision.HIGH if quality == "parity" else None
+    # EXCEPT NLMS, which has no safe mixed tier (the constraint's bf16
+    # matrix rounding floors its deep-convergence null depth by 18-26 dB —
+    # linear/nlms.py docstring): it stays HIGH at either quality.
+    prec = (
+        jax.lax.Precision.HIGH
+        if quality == "parity" or stage1 == "nlms"
+        else None
+    )
     if stage1 == "kalman":
         x_t = ols.frame_to_spectrum(
             jnp.concatenate([state["prev_far"], far_block]), cfg.hop

@@ -30,7 +30,10 @@ def _route_single_kernel(
     v5e, batch 256 x 8.2 s, same-process A/B (kernels/pallas_two_stage.py):
     single kernel mixed tile=256 = 12.83 ms vs 13.43 ms for the two-kernel
     composition — the fast-mode win that makes this the default route. The
-    parity tier stays on the composition (23.5 vs 22.6 ms there). The legacy
+    parity tier stays on the composition: with the balanced stage-1 tier
+    (round-3) the single kernel at balanced/u1 is a dead heat with the
+    composition (17.86 vs 17.96 ms same-process; ab_balanced_time), so the
+    composition keeps the route for its per-stage reusability. The legacy
     ``fast=True`` all-DEFAULT tier keeps the composition too: the single
     kernel's "mixed" runs the cancellation-critical dots at bf16_3x, which
     would silently RAISE that path's precision.
@@ -81,16 +84,17 @@ def two_stage_cancel(
     has the v5e measurements):
 
     - ``quality`` names the north-star <=0.1 dB ERLE budget for stage-1:
-      ``"parity"`` (DEFAULT) keeps every cancellation-relevant matmul at
-      >= bf16_3x (fused kernels ``dot_mode="high"`` / scan
-      ``Precision.HIGH``; measured ERLE-identical to the fp32 oracle on
-      every scene), ``"fast"`` opts into per-op MIXED precision (-0.16 dB
-      tail-ERLE worst case, only on scenes already >40 dB ERLE, ~1.2-1.3x
-      faster). See linear/kalman.kalman_cancel. Batched ``"fast"`` calls on
-      TPU run the WHOLE pipeline as a single Pallas kernel
-      (kernels/pallas_two_stage.py; 12.8 vs 13.4 ms for the two-kernel
-      composition at batch 256 x 8.2 s) — identical column ops, so the
-      waveform matches the composition at the same dot tiers.
+      ``"parity"`` (DEFAULT) routes batched fused kernels to ``dot_mode=
+      "balanced"`` (2-pass matrix-exact constraint; <=0.006 dB tail-ERLE
+      deviation vs the fp32 oracle on all 8 battery scenes) and scan /
+      single-stream paths to the full bf16_3x tier (``Precision.HIGH`` /
+      ``dot_mode="high"``, +-0.00 dB); ``"fast"`` opts into per-op MIXED
+      precision (-0.16 dB tail-ERLE worst case, only on scenes already
+      >40 dB ERLE, ~1.2x faster). See linear/kalman.kalman_cancel. Batched
+      ``"fast"`` calls on TPU run the WHOLE pipeline as a single Pallas
+      kernel (kernels/pallas_two_stage.py; 12.8 vs 13.4 ms for the
+      two-kernel composition at batch 256 x 8.2 s) — identical column ops,
+      so the waveform matches the composition at the same dot tiers.
     - stage-2 STFT/iSTFT run at ``stage2_precision`` = single-pass bf16 MXU
       by default: the enhanced waveform differs from HIGHEST by -50.9 dB SNR
       while the apply runs 2.0x faster (19.9 -> 9.85 ms at batch 256) — the

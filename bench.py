@@ -57,8 +57,9 @@ def headline(reps: int = 5, quality: str = "parity") -> dict:
     def pipeline(far, mic):
         # the production composition API; on TPU it auto-routes BOTH stages
         # to the fused batch-in-lanes Pallas kernels. quality="parity"
-        # (production default) = dot_mode high, inside the <=0.1 dB ERLE
-        # budget; "fast" = per-op mixed (benchmarks/validate_precision.py)
+        # (production default) = dot_mode balanced (<=0.006 dB tail-ERLE
+        # deviation on all 8 scenes); "fast" = per-op mixed
+        # (benchmarks/validate_precision.py)
         out = two_stage_cancel(params, far, mic, erb, stage1="kalman",
                                quality=quality)
         return jnp.sum(out["wav"])

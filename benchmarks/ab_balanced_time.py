@@ -97,19 +97,21 @@ def main() -> None:
     maybe("kalman_bl_balanced_u1", lambda: kal("balanced", 1, 2))
     maybe("kalman_bl_high_u1", lambda: kal("high", 1, 3))
 
-    maybe(
-        "nlms_bl_balanced_u2",
-        lambda: slope_time(
+    def nl(mode, unroll, i):
+        return slope_time(
             lambda x: jnp.sum(
                 nlms_cancel_fused_batched_bl(
-                    ncfg, x[0], x[1], block=scfg.hop, dot_mode="balanced",
-                    unroll=2,
+                    ncfg, x[0], x[1], block=scfg.hop, dot_mode=mode,
+                    unroll=unroll,
                 )["wav"]
             ),
             (2, BATCH, N),
-            jax.random.fold_in(key, 4),
-        ),
-    )
+            jax.random.fold_in(key, i),
+        )
+
+    maybe("nlms_bl_balanced_u2", lambda: nl("balanced", 2, 4))
+    maybe("nlms_bl_balanced_u1", lambda: nl("balanced", 1, 7))
+    maybe("nlms_bl_mixed_u2", lambda: nl("mixed", 2, 11))
 
     def ts(mode, unroll, i):
         return slope_time(
@@ -123,7 +125,25 @@ def main() -> None:
         )
 
     maybe("two_stage_single_balanced_u2", lambda: ts("balanced", 2, 5))
+    maybe("two_stage_single_balanced_u1", lambda: ts("balanced", 1, 8))
     maybe("two_stage_single_mixed_u2", lambda: ts("mixed", 2, 6))
+
+    # the production entry point at both qualities (routing as shipped):
+    # parity composition (balanced stage-1 + fused stage-2) vs the single
+    # kernel decides the parity route
+    from aec_tpu.pipeline.two_stage import two_stage_cancel
+
+    def prod(q, i):
+        return slope_time(
+            lambda x: jnp.sum(
+                two_stage_cancel(params, x[0], x[1], erb, quality=q)["wav"]
+            ),
+            (2, BATCH, N),
+            jax.random.fold_in(key, i),
+        )
+
+    maybe("two_stage_prod_parity", lambda: prod("parity", 9))
+    maybe("two_stage_prod_fast", lambda: prod("fast", 10))
 
     print(json.dumps(results))
 

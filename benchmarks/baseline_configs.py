@@ -46,7 +46,8 @@ def _time(fn, inputs_list) -> float:
     return float(np.median(times))
 
 
-def _sequential_device_xrt(process, n, rng, *, counts=(4, 36), reps=3):
+def _sequential_device_xrt(process, n, rng, *, counts=(4, 36), reps=3,
+                           carried=None):
     """Single-stream xRT measured as pure DEVICE time via a two-point slope.
 
     Round-1 mismeasurement, corrected: on this image every dispatch pays a
@@ -58,17 +59,26 @@ def _sequential_device_xrt(process, n, rng, *, counts=(4, 36), reps=3):
     to k separate single-utterance runs), timed at two k values with
     distinct pre-uploaded buffers; the slope removes the constant dispatch
     term. Returns (xrt_device, dispatch_floor_s, per_utt_s).
+
+    ``carried``: optional pytree of large arrays (model params) threaded
+    through jit as an ARGUMENT so they stay device buffers instead of being
+    baked into the program as constants — closed-over weights are literals
+    in the serialized HLO, and ATT-CCRN's 4096-unit bottleneck LSTM
+    (~134 M params, faithful to attention_ccrn.py:369's 512*8 declaration)
+    exceeds the axon remote-compile request size limit (HTTP 413) that way.
+    When given, ``process`` is called as ``process(carried, f, m)``.
     """
 
-    def run_k(fm_batch):  # (k, 2, n) -> checksum (forces full execution)
+    def run_k(c, fm_batch):  # (k, 2, n) -> checksum (forces full execution)
         def body(carry, fm):
-            wav = process(fm[0], fm[1])
+            wav = process(c, fm[0], fm[1]) if c is not None else process(fm[0], fm[1])
             return carry + jnp.sum(wav), None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), fm_batch)
         return total
 
-    fn = jax.jit(run_k)
+    jfn = jax.jit(run_k)
+    fn = lambda b: jfn(carried, b)
     medians = {}
     for k in counts:
         batches = [
@@ -473,11 +483,14 @@ def bench_model_zoo(small=False) -> dict:
     out["fullsubnet"] = {"xrt": round(xrt_f, 1), "utt_ms": round(per_f * 1e3, 2)}
 
     acfg = AttCcrnConfig()
-    aparams, astate = att_ccrn_init(jax.random.PRNGKey(2), acfg)
+    # init ON DEVICE (jit) and thread params through as a jit argument:
+    # baked-as-constants, the ~134 M-param bottleneck LSTM blows the axon
+    # remote-compile request size limit (HTTP 413).
+    aparams, astate = jax.jit(lambda k: att_ccrn_init(k, acfg))(jax.random.PRNGKey(2))
     n_a = n // 256 * 256
     xrt_a, _, per_a = _sequential_device_xrt(
-        lambda f, m: att_ccrn_apply(aparams, astate, m[None], f[None], acfg)[0]["wav"],
-        n_a, rng, counts=counts,
+        lambda c, f, m: att_ccrn_apply(c[0], c[1], m[None], f[None], acfg)[0]["wav"],
+        n_a, rng, counts=counts, carried=(aparams, astate),
     )
     out["att_ccrn"] = {"xrt": round(xrt_a, 1), "utt_ms": round(per_a * 1e3, 2)}
 

@@ -5,12 +5,16 @@ echo-only, long RIR, sine + speech double talk, mid-utterance path change,
 speech-like far-end, memoryless loudspeaker NONLINEARITY, 30 ms bulk
 delay — the regimes AEC papers actually test):
 
-- stage-1: batched fused Pallas Kalman at dot_mode high/mixed/bf16, and the
-  XLA scan at HIGH / per-op-mixed / DEFAULT, against the scan at HIGHEST
-  (fp32 oracle) — converged-tail ERLE deltas. The ``quality="parity"``
-  default routes to fused high / scan HIGH, so those two columns ARE the
-  production default's grade against the north-star <= 0.1 dB budget
-  (BASELINE.md); "mixed" is the opt-in ``quality="fast"`` grade.
+- stage-1: batched fused Pallas Kalman at dot_mode high/balanced/mixed/bf16,
+  and the XLA scan at HIGH / per-op-mixed / DEFAULT, against the scan at
+  HIGHEST (fp32 oracle) — converged-tail ERLE deltas. The
+  ``quality="parity"`` default routes batched calls to fused BALANCED
+  (scan/single-stream to HIGH), so those columns ARE the production
+  default's grade against the north-star <= 0.1 dB budget (BASELINE.md);
+  "mixed" is the opt-in Kalman ``quality="fast"`` grade.
+- NLMS fused kernel tiers graded separately (``nlms_erle``): its mixed
+  tier LOSES 18-26 dB on deep-convergence scenes (the reason nlms_cancel
+  refuses to route it), balanced is -0.078 dB worst.
 - stage-2: ``little_net_apply`` with ``Precision.DEFAULT`` STFT/iSTFT
   matmuls against HIGHEST — relative waveform error, SNR, and the STOI
   delta of the enhanced output (graded against the scene's near-end where
@@ -24,21 +28,28 @@ This is the evidence behind the production defaults in
 from __future__ import annotations
 
 import json
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aec_tpu.configs import KalmanConfig
+from aec_tpu.configs import KalmanConfig, NlmsConfig
 from aec_tpu.dsp.erb import erb_filterbank
 from aec_tpu.dsp.stft import StftConfig
 from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
+from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused_batched_bl
 from aec_tpu.linear.kalman import kalman_cancel
+from aec_tpu.linear.nlms import nlms_cancel
 from aec_tpu.models.little_net import little_net_apply, little_net_init
 from benchmarks.scenes import SR, erle_tail, make_scenes
 
 
 def main() -> None:
+    # optional argv filter: any of {stage1, nlms, stage2, route} to run a
+    # subset (each section still prints into the one JSON line at the end)
+    only = set(sys.argv[1:])
+    want = lambda s: not only or s in only  # noqa: E731
     rng = np.random.default_rng(0)
     scenes = make_scenes(rng)
     kcfg = KalmanConfig()
@@ -50,7 +61,7 @@ def main() -> None:
         jax.lax.Precision.DEFAULT,
         jax.lax.Precision.DEFAULT,
     )
-    for name, (far, mic, _near) in scenes.items():
+    for name, (far, mic, _near) in scenes.items() if want("stage1") else ():
         farb = jnp.asarray(np.stack([far] * 4))  # small batch for the kernel
         micb = jnp.asarray(np.stack([mic] * 4))
         oracle = np.asarray(
@@ -100,6 +111,33 @@ def main() -> None:
         results["stage1_erle"][name] = row
         print(name, row, flush=True)
 
+    # NLMS (config #1) shares the stage1_dots tiers through bl_common but is
+    # a different recursion — grade its fused kernel tiers independently so
+    # the nlms_cancel quality routing carries its own evidence.
+    ncfg = NlmsConfig()
+    results["nlms_erle"] = {}
+    for name, (far, mic, _near) in scenes.items() if want("nlms") else ():
+        farb = jnp.asarray(np.stack([far] * 4))
+        micb = jnp.asarray(np.stack([mic] * 4))
+        oracle = np.asarray(
+            nlms_cancel(
+                ncfg, farb, micb, fused=False,
+                precision=jax.lax.Precision.HIGHEST,
+            )["wav"][0]
+        )
+        cands = {
+            mode: nlms_cancel_fused_batched_bl(
+                ncfg, farb, micb, tile=4, dot_mode=mode
+            )["wav"][0]
+            for mode in ("high", "balanced", "mixed")
+        }
+        e0 = erle_tail(mic, oracle)
+        row = {"oracle_db": round(e0, 2)}
+        for cname, wav in cands.items():
+            row[f"fused_{cname}"] = round(erle_tail(mic, np.asarray(wav)) - e0, 3)
+        results["nlms_erle"][name] = row
+        print("nlms", name, row, flush=True)
+
     # stage-2 precision on the enhanced waveform: rel error + SNR on the
     # hardest linear scene, STOI delta on the scenes with a near-end source
     params = little_net_init(jax.random.PRNGKey(0))
@@ -119,19 +157,20 @@ def main() -> None:
         )[0]
         return hi, lo
 
-    far, mic, _ = scenes["double_talk"]
-    hi, lo = stage2_pair(far, mic)
-    rel = float(np.max(np.abs(hi - lo)) / (np.max(np.abs(hi)) + 1e-12))
-    snr = 10.0 * np.log10(
-        float(np.sum(hi**2)) / (float(np.sum((hi - lo) ** 2)) + 1e-30)
-    )
-    results["stage2"]["rel_wav_err_default_vs_highest"] = rel
-    results["stage2"]["snr_db_default_vs_highest"] = round(float(snr), 1)
-    print("stage2 rel err", rel, "snr dB", round(float(snr), 1), flush=True)
-
     from aec_tpu.train.stoi import stoi
 
-    for name in ("double_talk", "speech_dtalk"):
+    if want("stage2"):
+        far, mic, _ = scenes["double_talk"]
+        hi, lo = stage2_pair(far, mic)
+        rel = float(np.max(np.abs(hi - lo)) / (np.max(np.abs(hi)) + 1e-12))
+        snr = 10.0 * np.log10(
+            float(np.sum(hi**2)) / (float(np.sum((hi - lo) ** 2)) + 1e-30)
+        )
+        results["stage2"]["rel_wav_err_default_vs_highest"] = rel
+        results["stage2"]["snr_db_default_vs_highest"] = round(float(snr), 1)
+        print("stage2 rel err", rel, "snr dB", round(float(snr), 1), flush=True)
+
+    for name in ("double_talk", "speech_dtalk") if want("stage2") else ():
         far, mic, near = scenes[name]
         hi, lo = stage2_pair(far, mic)
         s_hi = float(stoi(near, hi))
@@ -151,28 +190,36 @@ def main() -> None:
     from aec_tpu.kernels.pallas_two_stage import two_stage_fused
 
     results["two_stage_route"] = {}
-    for name in ("double_talk", "speech_dtalk", "nonlinear", "bulk_delay"):
+    for name in (
+        ("double_talk", "speech_dtalk", "nonlinear", "bulk_delay")
+        if want("route") else ()
+    ):
         far, mic, near = scenes[name]
         farb = jnp.asarray(np.stack([far] * 4))
         micb = jnp.asarray(np.stack([mic] * 4))
-        single = np.asarray(
-            two_stage_fused(params, farb, micb, erb, tile=4)["wav"][0]
-        )
-        lin = kalman_cancel_fused_batched_bl(
-            kcfg, farb, micb, tile=4, dot_mode="mixed"
-        )["wav"]
-        comp = np.asarray(
-            little_net_apply_fused_wav(params, lin, farb, erb, scfg)["wav"][0]
-        )
-        snr = 10.0 * np.log10(
-            float(np.sum(comp**2))
-            / (float(np.sum((single - comp) ** 2)) + 1e-30)
-        )
-        row = {"snr_db_vs_composition": round(float(snr), 1)}
-        if near is not None and np.any(near):
-            row["stoi_delta"] = round(
-                float(stoi(near, single)) - float(stoi(near, comp)), 5
+        row = {}
+        # grade the single kernel at BOTH routed tiers against the matching
+        # two-kernel composition (fast = mixed, parity = balanced)
+        for mode in ("mixed", "balanced"):
+            single = np.asarray(
+                two_stage_fused(params, farb, micb, erb, tile=4,
+                                dot_mode=mode)["wav"][0]
             )
+            lin = kalman_cancel_fused_batched_bl(
+                kcfg, farb, micb, tile=4, dot_mode=mode
+            )["wav"]
+            comp = np.asarray(
+                little_net_apply_fused_wav(params, lin, farb, erb, scfg)["wav"][0]
+            )
+            snr = 10.0 * np.log10(
+                float(np.sum(comp**2))
+                / (float(np.sum((single - comp) ** 2)) + 1e-30)
+            )
+            row[f"snr_db_vs_composition_{mode}"] = round(float(snr), 1)
+            if near is not None and np.any(near):
+                row[f"stoi_delta_{mode}"] = round(
+                    float(stoi(near, single)) - float(stoi(near, comp)), 5
+                )
         results["two_stage_route"][name] = row
         print("two_stage_route", name, row, flush=True)
 

@@ -47,12 +47,27 @@ def test_parity_default_equals_high_precision_scan(rng):
 
 
 def test_fast_equals_mixed_default_scan(rng):
-    """quality='fast' == the documented per-op MIXED precision tuple."""
+    """Kalman quality='fast' == the documented per-op MIXED tuple."""
+    far, mic = _pair(rng)
+    want = kalman_cancel(
+        KalmanConfig(), far, mic, precision=ols._STAGE1_DEFAULT, fused=False
+    )["wav"]
+    got = kalman_cancel(
+        KalmanConfig(), far, mic, quality="fast", fused=False
+    )["wav"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_nlms_fast_scan_stays_high(rng):
+    """NLMS has NO mixed tier at either quality (the per-op mixed scan
+    loses 18-26 dB tail ERLE on deep-convergence scenes — see
+    linear/nlms.py docstring + benchmarks/validate_precision.py
+    nlms_erle): quality='fast' must run the scan at HIGH."""
     far, mic = _pair(rng)
     want = nlms_cancel(
-        NlmsConfig(), far, mic, precision=ols._STAGE1_DEFAULT
+        NlmsConfig(), far, mic, precision=jax.lax.Precision.HIGH, fused=False
     )["wav"]
-    got = nlms_cancel(NlmsConfig(), far, mic, quality="fast")["wav"]
+    got = nlms_cancel(NlmsConfig(), far, mic, quality="fast", fused=False)["wav"]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -101,7 +116,14 @@ def test_tpu_routing_contract(rng, monkeypatch, which, batched):
     out = fn(cfg, far, mic, quality="fast")
     assert out["state"] is None
     expect = ("k" if which == "kalman" else "n") + ("B" if batched else "1")
-    assert calls == [(expect, "high"), (expect, "mixed")]
+    # parity: balanced on the batched bl kernels (2-pass matrix-exact
+    # constraint, <=0.1 dB), full high tier single-stream. fast: mixed for
+    # Kalman only — NLMS has no safe mixed tier (see linear/nlms.py).
+    parity_mode = "balanced" if batched else "high"
+    fast_mode = (
+        "mixed" if which == "kalman" else ("balanced" if batched else "high")
+    )
+    assert calls == [(expect, parity_mode), (expect, fast_mode)]
 
     # explicit precision keeps the scan (resumable state contract)
     out = fn(cfg, far, mic, precision=jax.lax.Precision.HIGHEST)
@@ -152,7 +174,7 @@ def test_two_stage_quality_reaches_stage1(rng, monkeypatch):
     # the legacy all-DEFAULT fast=True tier keeps the composition (its
     # explicit precision routes stage-1 to the scan, not any kernel)
     two_stage_cancel(params, far, mic, erb, fast=True)
-    assert calls == ["high", "single-kernel"]
+    assert calls == ["balanced", "single-kernel"]
 
 
 def test_two_stage_nondefault_geometry_falls_back(rng, monkeypatch):
