@@ -459,7 +459,9 @@ def bench_model_zoo(small=False) -> dict:
 
     rng = np.random.default_rng(7)
     n = (8 * SR if not small else SR) // 320 * 320
-    counts = (1, 4) if not small else (1, 2)
+    # (1, 4) gave +-3 ms slope noise under the nonstationary 20-50 ms
+    # tunnel dispatch — sub-10-ms/utt families read 3-10x wrong run to run
+    counts = (4, 16) if not small else (1, 2)
     out = {
         "metric": "model_zoo_single_utt_xrt",
         "unit": "x_realtime", "vs_baseline": None,
