@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from aec_tpu.kernels import precision as prec
 
@@ -55,7 +56,8 @@ def stage1_dots(dot_mode: str):
     ========  ==  ==  ==  ==  ==
     high       3   3   3   3   3   parity oracle tier (== Precision.HIGH)
     balanced   3   3   1   2   2   production ``quality="parity"`` route
-    mixed      3   3   1   1   1   production ``quality="fast"`` route
+    lean       2   2   1   2   2   x/y also matrix-exact 2-pass (candidate)
+    mixed      3   3   1   1   1   Kalman ``quality="fast"`` route
     bf16       1   1   1   1   1
     native     fp32 via Mosaic precision=HIGHEST (~6-pass; oracle only)
     ========  ==  ==  ==  ==  ==
@@ -73,6 +75,16 @@ def stage1_dots(dot_mode: str):
         return (
             prec.dot_native_lhs, prec.dot_native_lhs_k1, prec.dot_native_lhs,
             prec.dot_native_lhs_k1, prec.dot_native_lhs,
+        )
+    if dot_mode == "lean":
+        # balanced with the x/y sites ALSO dropped to the 2-pass
+        # matrix-exact split (matrix rounding is the measured loss
+        # mechanism at every graded site; operand rounding costs
+        # <=0.06 dB) — passes (2,2,1,2,2), ~6% below balanced's MXU floor
+        # (the constraint pair dominates — benchmarks/roofline.py)
+        return (
+            prec.dot_mat2_lhs, prec.dot_mat2_lhs_k1, prec.dot_fast_lhs,
+            prec.dot_mat2_lhs_k1, prec.dot_mat2_lhs,
         )
     if dot_mode not in ("high", "balanced", "mixed", "bf16"):
         raise ValueError(f"unknown stage-1 dot_mode {dot_mode!r}")
@@ -202,7 +214,8 @@ def stage2_vecs(params, cfg) -> list[jax.Array]:
     ]
 
 
-def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b):
+def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
+                      project=True):
     """One batched PBFD-Kalman block update on batch-in-lanes refs.
 
     ``dots``  = (dot_x, dot_y, dot_e, dot_c, dot_fb) — the per-tier matmul
@@ -215,6 +228,18 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b):
     ``state`` = (wr, wi, p, xbr, xbi, psi, fprev) scratch refs.
     Mutates the state refs; returns the echo-cancelled block (hop, tile).
     Equations: linear/kalman.kalman_step.
+
+    ``project``: the gradient-constraint scheduling knob (the constraint
+    pair is ~80%% of the kernel's MXU work — benchmarks/roofline.py).
+    Python ``True`` keeps today's exact per-update projection. A TRACED
+    bool switches to the alternating scheme: the update accumulates
+    UNCONSTRAINED (w += g, pure VPU) and, on steps where ``project`` is
+    true, the WHOLE filter is re-projected onto the time-support-B
+    manifold (same factored head/tail pair applied to W instead of G —
+    exactly equivalent on projection steps because the projection is
+    linear and idempotent, and W was on-manifold k steps ago). Between
+    projections the circular-wraparound leakage is bounded by k raw
+    updates, each decayed by the Kalman transition a<1.
     """
     dot_x, dot_y, dot_e, dot_c, dot_fb = dots
     (fwr_hi, fwr_lo, fwi_hi, fwi_lo,
@@ -262,11 +287,24 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b):
     er_d, ei_d = lbcast(er / den), lbcast(ei / den)
     gr = p_pred * (xr * er_d + xi * ei_d)  # (K, L*tile)
     gi = p_pred * (xr * ei_d - xi * er_d)
-    t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
-        ihi_hi, ihi_lo, ihi_last, gi
-    )
-    wr[:] = wr_p + dot_fb(fbr_hi, fbr_lo, t_blk)
-    wi[:] = wi_p + dot_fb(fbi_hi, fbi_lo, t_blk)
+    if project is True:  # static: the exact per-update projection
+        t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
+            ihi_hi, ihi_lo, ihi_last, gi
+        )
+        wr[:] = wr_p + dot_fb(fbr_hi, fbr_lo, t_blk)
+        wi[:] = wi_p + dot_fb(fbi_hi, fbi_lo, t_blk)
+    else:  # alternating: raw accumulate, re-project W on schedule
+        wr[:] = wr_p + gr
+        wi[:] = wi_p + gi
+
+        @pl.when(project)
+        def _reproject():
+            t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, wr[:]) + dot_c(
+                ihi_hi, ihi_lo, ihi_last, wi[:]
+            )
+            wr[:] = dot_fb(fbr_hi, fbr_lo, t_blk)
+            wi[:] = dot_fb(fbi_hi, fbi_lo, t_blk)
+
     p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
     return e_blk
 

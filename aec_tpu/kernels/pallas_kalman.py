@@ -404,7 +404,8 @@ def kalman_cancel_fused_batched(
 
 
 def _kernel_batched_bl(
-    cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str
+    cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str,
+    t_inner: int = 1, constrain_every: int = 1,
 ):
     """Batch-in-LANES variant: utterances AND partitions ride the lane axis.
 
@@ -461,9 +462,16 @@ def _kernel_batched_bl(
             state[5][:] = jnp.full_like(state[5], cfg.psi_floor)
 
         for u in range(unroll):
+            if constrain_every == 1:
+                project = True  # static: exact per-update projection
+            else:
+                step_idx = (
+                    pl.program_id(1) * t_inner + pl.program_id(2)
+                ) * unroll + u
+                project = step_idx % constrain_every == constrain_every - 1
             e_ref[0, 0, 0, u] = bl.kalman_block_step(
                 cfg, l, tile, dots, consts, state,
-                far_ref[0, 0, 0, u], d_ref[0, 0, 0, u],
+                far_ref[0, 0, 0, u], d_ref[0, 0, 0, u], project=project,
             )
 
     return kernel
@@ -473,7 +481,7 @@ def _kernel_batched_bl(
     jax.jit,
     static_argnames=(
         "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid",
-        "vmem_limit_mb"
+        "vmem_limit_mb", "constrain_every"
     ),
 )
 def kalman_filter_fused_batched_bl(
@@ -488,6 +496,7 @@ def kalman_filter_fused_batched_bl(
     dot_mode: str = "mixed",
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
+    constrain_every: int = 1,
 ) -> jax.Array:
     """Batch-in-lanes fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
 
@@ -517,7 +526,7 @@ def kalman_filter_fused_batched_bl(
         # is a ~6-pass bf16 expansion), so it stays the oracle mode.
         tile = 128 if dot_mode == "native" else 256
     if unroll is None:
-        unroll = 1 if dot_mode in ("high", "native", "balanced") else 2
+        unroll = 1 if dot_mode in ("high", "native", "balanced", "lean") else 2
     if vmem_limit_mb is None:
         # the cap VALUE matters beyond feasibility (64 MB cap: 22.3 ms at
         # high/128/u2 vs 20.5 at 100 MB — the scheduler uses the headroom)
@@ -555,7 +564,8 @@ def kalman_filter_fused_batched_bl(
     const_ops = bl.stage1_consts(block, native=(dot_mode == "native"))
 
     out = pl.pallas_call(
-        _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
+        _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode,
+                           t_inner=t_inner, constrain_every=constrain_every),
         grid=(bt, t_outer, t_inner),
         in_specs=[step(block), step(block)]
         + [whole(*c.shape) for c in const_ops],
@@ -602,6 +612,7 @@ def kalman_cancel_fused_batched_bl(
     dot_mode: str = "mixed",
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
+    constrain_every: int = 1,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched canceller on the batch-in-lanes kernel.
 
@@ -617,7 +628,7 @@ def kalman_cancel_fused_batched_bl(
     e = kalman_filter_fused_batched_bl(
         cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
         unroll=unroll, dot_mode=dot_mode, max_grid=max_grid,
-        vmem_limit_mb=vmem_limit_mb,
+        vmem_limit_mb=vmem_limit_mb, constrain_every=constrain_every,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}
 

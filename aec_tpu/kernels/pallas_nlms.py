@@ -181,7 +181,8 @@ def nlms_cancel_fused(
 
 
 def _kernel_batched_bl(
-    cfg: NlmsConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str
+    cfg: NlmsConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str,
+    t_inner: int = 1, constrain_every: int = 1,
 ):
     """Batch-in-lanes batched NLMS with the far-frame STFT fused in-kernel.
 
@@ -263,11 +264,31 @@ def _kernel_batched_bl(
             er_p, ei_p = lbcast(er * inv_p), lbcast(ei * inv_p)
             gr = xr * er_p + xi * ei_p  # (K, L*tile)
             gi = xr * ei_p - xi * er_p
-            t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
-                ihi_hi, ihi_lo, ihi_last, gi
-            )
-            wr[:] = wr[:] + mu * dot_fb(fbr_hi, fbr_lo, t_blk)
-            wi[:] = wi[:] + mu * dot_fb(fbi_hi, fbi_lo, t_blk)
+            if constrain_every == 1:  # static: exact per-update projection
+                t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
+                    ihi_hi, ihi_lo, ihi_last, gi
+                )
+                wr[:] = wr[:] + mu * dot_fb(fbr_hi, fbr_lo, t_blk)
+                wi[:] = wi[:] + mu * dot_fb(fbi_hi, fbi_lo, t_blk)
+            else:
+                # alternating constraint (see bl_common.kalman_block_step):
+                # raw accumulate, re-project the WHOLE filter on schedule.
+                # NLMS has no transition decay, but the projection removes
+                # ALL accumulated wraparound each time it runs, so leakage
+                # is bounded by constrain_every raw updates.
+                wr[:] = wr[:] + mu * gr
+                wi[:] = wi[:] + mu * gi
+                step_idx = (
+                    pl.program_id(1) * t_inner + pl.program_id(2)
+                ) * unroll + u
+
+                @pl.when(step_idx % constrain_every == constrain_every - 1)
+                def _reproject():
+                    t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, wr[:]) + dot_c(
+                        ihi_hi, ihi_lo, ihi_last, wi[:]
+                    )
+                    wr[:] = dot_fb(fbr_hi, fbr_lo, t_blk)
+                    wi[:] = dot_fb(fbi_hi, fbi_lo, t_blk)
 
     return kernel
 
@@ -276,7 +297,7 @@ def _kernel_batched_bl(
     jax.jit,
     static_argnames=(
         "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid",
-        "vmem_limit_mb"
+        "vmem_limit_mb", "constrain_every"
     ),
 )
 def nlms_filter_fused_batched_bl(
@@ -291,6 +312,7 @@ def nlms_filter_fused_batched_bl(
     dot_mode: str = "mixed",
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
+    constrain_every: int = 1,
 ) -> jax.Array:
     """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, t_outer, t_inner)."""
     batch, t_steps, _ = far_blocks.shape
@@ -305,7 +327,7 @@ def nlms_filter_fused_batched_bl(
         tile = 128 if dot_mode == "native" else 256
     if unroll is None:
         # balanced: u1 9.2 ms vs u2 16.1 per 256 x 8.2 s (ab_balanced_time)
-        unroll = 1 if dot_mode in ("high", "native", "balanced") else 2
+        unroll = 1 if dot_mode in ("high", "native", "balanced", "lean") else 2
     if vmem_limit_mb is None:
         vmem_limit_mb = 100
 
@@ -338,7 +360,8 @@ def nlms_filter_fused_batched_bl(
     const_ops = bl.stage1_consts(block, native=(dot_mode == "native"))
 
     out = pl.pallas_call(
-        _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode),
+        _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode,
+                           t_inner=t_inner, constrain_every=constrain_every),
         grid=(bt, t_outer, t_inner),
         in_specs=[step(block), step(block)]
         + [whole(*c.shape) for c in const_ops],
@@ -384,6 +407,7 @@ def nlms_cancel_fused_batched_bl(
     dot_mode: str = "mixed",
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
+    constrain_every: int = 1,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched NLMS on the batch-in-lanes fused kernel.
     ``tile=None`` resolves per dot_mode (256 production, 128 native)."""
@@ -395,6 +419,6 @@ def nlms_cancel_fused_batched_bl(
     e = nlms_filter_fused_batched_bl(
         cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
         unroll=unroll, dot_mode=dot_mode, max_grid=max_grid,
-        vmem_limit_mb=vmem_limit_mb,
+        vmem_limit_mb=vmem_limit_mb, constrain_every=constrain_every,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}

@@ -80,12 +80,12 @@ def main() -> None:
         results[name] = {"ms": round(per * 1e3, 2), "xrt": round(audio_s / per, 1)}
         print(name, results[name], flush=True)
 
-    def kal(mode, unroll, i):
+    def kal(mode, unroll, i, ce=1):
         return slope_time(
             lambda x: jnp.sum(
                 kalman_cancel_fused_batched_bl(
                     kcfg, x[0], x[1], block=scfg.hop, dot_mode=mode,
-                    unroll=unroll,
+                    unroll=unroll, constrain_every=ce,
                 )["wav"]
             ),
             (2, BATCH, N),
@@ -95,14 +95,19 @@ def main() -> None:
     maybe("kalman_bl_mixed_u2", lambda: kal("mixed", 2, 0))
     maybe("kalman_bl_balanced_u2", lambda: kal("balanced", 2, 1))
     maybe("kalman_bl_balanced_u1", lambda: kal("balanced", 1, 2))
+    maybe("kalman_bl_lean_u1", lambda: kal("lean", 1, 12))
     maybe("kalman_bl_high_u1", lambda: kal("high", 1, 3))
+    maybe("kalman_bl_balanced_u1_ce2", lambda: kal("balanced", 1, 14, 2))
+    maybe("kalman_bl_balanced_u2_ce2", lambda: kal("balanced", 2, 15, 2))
+    maybe("kalman_bl_balanced_u1_ce4", lambda: kal("balanced", 1, 16, 4))
+    maybe("kalman_bl_mixed_u2_ce2", lambda: kal("mixed", 2, 17, 2))
 
-    def nl(mode, unroll, i):
+    def nl(mode, unroll, i, ce=1):
         return slope_time(
             lambda x: jnp.sum(
                 nlms_cancel_fused_batched_bl(
                     ncfg, x[0], x[1], block=scfg.hop, dot_mode=mode,
-                    unroll=unroll,
+                    unroll=unroll, constrain_every=ce,
                 )["wav"]
             ),
             (2, BATCH, N),
@@ -111,7 +116,9 @@ def main() -> None:
 
     maybe("nlms_bl_balanced_u2", lambda: nl("balanced", 2, 4))
     maybe("nlms_bl_balanced_u1", lambda: nl("balanced", 1, 7))
+    maybe("nlms_bl_lean_u1", lambda: nl("lean", 1, 13))
     maybe("nlms_bl_mixed_u2", lambda: nl("mixed", 2, 11))
+    maybe("nlms_bl_balanced_u1_ce2", lambda: nl("balanced", 1, 18, 2))
 
     def ts(mode, unroll, i):
         return slope_time(

@@ -70,6 +70,7 @@ STAGE1_SITES = {
 PASSES = {
     "high": {"x": 3, "y": 3, "e": 3, "c": 3, "fb": 3},
     "balanced": {"x": 3, "y": 3, "e": 1, "c": 2, "fb": 2},
+    "lean": {"x": 2, "y": 2, "e": 1, "c": 2, "fb": 2},
     "mixed": {"x": 3, "y": 3, "e": 1, "c": 1, "fb": 1},
 }
 
@@ -130,7 +131,7 @@ def main() -> None:
 
     out = {"hbm_io_ms_floor": round(hbm_ms, 2), "kernels": {}}
     s2 = stage2()
-    for mode in ("high", "balanced", "mixed"):
+    for mode in ("high", "balanced", "lean", "mixed"):
         s1 = stage1(mode)
         for name in ("stage1_kalman", "stage1_nlms"):
             ms = measured.get((name, mode))

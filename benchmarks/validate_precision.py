@@ -90,6 +90,22 @@ def main() -> None:
             "fused_balanced": kalman_cancel_fused_batched_bl(
                 kcfg, farb, micb, tile=4, dot_mode="balanced"
             )["wav"][0],
+            # balanced with x/y ALSO at the 2-pass matrix-exact split
+            # (candidate parity tier, ~6% below balanced's MXU floor)
+            "fused_lean": kalman_cancel_fused_batched_bl(
+                kcfg, farb, micb, tile=4, dot_mode="lean"
+            )["wav"][0],
+            # alternating gradient constraint (the constraint pair is ~80%
+            # of the kernel's MXU work — benchmarks/roofline.py): raw
+            # accumulate + whole-W re-projection every k-th block
+            "fused_bal_ce2": kalman_cancel_fused_batched_bl(
+                kcfg, farb, micb, tile=4, dot_mode="balanced",
+                constrain_every=2,
+            )["wav"][0],
+            "fused_bal_ce4": kalman_cancel_fused_batched_bl(
+                kcfg, farb, micb, tile=4, dot_mode="balanced",
+                constrain_every=4,
+            )["wav"][0],
             "scan_default": kalman_cancel(
                 kcfg, farb, micb, fused=False,
                 precision=jax.lax.Precision.DEFAULT,
@@ -129,7 +145,7 @@ def main() -> None:
             mode: nlms_cancel_fused_batched_bl(
                 ncfg, farb, micb, tile=4, dot_mode=mode
             )["wav"][0]
-            for mode in ("high", "balanced", "mixed")
+            for mode in ("high", "balanced", "lean", "mixed")
         }
         e0 = erle_tail(mic, oracle)
         row = {"oracle_db": round(e0, 2)}

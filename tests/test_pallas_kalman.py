@@ -297,3 +297,51 @@ def test_bl_native_dot_mode_is_exact_fp32(rng):
         )
         scale = max(float(np.abs(want).max()), 1e-9)
         np.testing.assert_allclose(got, want, atol=2e-5 * scale)
+
+
+def test_bl_lean_and_alternating_constraint(rng):
+    """Round-3 throughput knobs on the bl kernels (interpret mode):
+
+    - dot_mode="lean" (x/y at the 2-pass matrix-exact split) tracks the
+      fp32 scan about as tightly as "balanced";
+    - constrain_every=1 is BIT-IDENTICAL to the default (the static exact
+      path must not be perturbed by the alternating-scheme code);
+    - constrain_every=2/4 (raw accumulate + whole-W re-projection — the
+      constraint pair is ~80% of the kernel's MXU work, roofline.py) stays
+      within 1 dB tail ERLE of the per-step projection on a converged
+      echo-only scene, for both Kalman and NLMS.
+    """
+    from aec_tpu.configs import NlmsConfig
+    from aec_tpu.kernels.pallas_kalman import kalman_cancel_fused_batched_bl
+    from aec_tpu.kernels.pallas_nlms import nlms_cancel_fused_batched_bl
+    from aec_tpu.train.metrics import erle
+
+    b, n = 2, 20 * 256
+    far = rng.standard_normal((b, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)).astype(
+        np.float32
+    )
+    mic = np.stack(
+        [np.convolve(far[i], 0.4 * rir)[:n] for i in range(b)]
+    ).astype(np.float32)
+    farj, micj = jnp.asarray(far), jnp.asarray(mic)
+    tail = slice(n // 2, None)
+    for cfg, fused in (
+        (KalmanConfig(), kalman_cancel_fused_batched_bl),
+        (NlmsConfig(), nlms_cancel_fused_batched_bl),
+    ):
+        base = fused(cfg, farj, micj, interpret=True, tile=2,
+                     dot_mode="balanced")["wav"]
+        lean = fused(cfg, farj, micj, interpret=True, tile=2,
+                     dot_mode="lean")["wav"]
+        ce1 = fused(cfg, farj, micj, interpret=True, tile=2,
+                    dot_mode="balanced", constrain_every=1)["wav"]
+        np.testing.assert_array_equal(np.asarray(ce1), np.asarray(base))
+        e_base = float(erle(micj[0, tail], base[0, tail]))
+        e_lean = float(erle(micj[0, tail], lean[0, tail]))
+        assert abs(e_lean - e_base) < 1.0, (e_lean, e_base)
+        for k in (2, 4):
+            ek = fused(cfg, farj, micj, interpret=True, tile=2,
+                       dot_mode="balanced", constrain_every=k)["wav"]
+            e_k = float(erle(micj[0, tail], ek[0, tail]))
+            assert abs(e_k - e_base) < 1.0, (k, e_k, e_base)
