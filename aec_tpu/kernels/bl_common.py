@@ -56,11 +56,20 @@ def stage1_dots(dot_mode: str):
     ========  ==  ==  ==  ==  ==
     high       3   3   3   3   3   parity oracle tier (== Precision.HIGH)
     balanced   3   3   1   2   2   production ``quality="parity"`` route
-    lean       2   2   1   2   2   x/y also matrix-exact 2-pass (candidate)
+    lean       2   2   1   2   2   x/y also matrix-exact 2-pass (UNROUTED)
     mixed      3   3   1   1   1   Kalman ``quality="fast"`` route
     bf16       1   1   1   1   1
     native     fp32 via Mosaic precision=HIGHEST (~6-pass; oracle only)
     ========  ==  ==  ==  ==  ==
+
+    "lean" is a GRADED DEAD END for the default routes (on-chip, 8-scene
+    battery): single-rounding the DYNAMIC operand at the x/y sites floors
+    the achievable null depth — Kalman echo_only -1.70 dB, NLMS
+    deep-convergence scenes -29 to -36 dB (WORSE than mixed; the far-end
+    spectrum X itself is what gets rounded, so Y = W*X_rounded can never
+    cancel the mic built from true X past bf16 relative accuracy). The
+    c-site finding "operand rounding is free" does NOT generalize: the
+    constraint's dynamic operand is the (small) update G, not the signal.
 
     The balanced tier is built on two on-chip findings (ab_perop*.py,
     graded in validate_precision.py): (1) the mixed tier's -0.16 dB
@@ -240,6 +249,15 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
     linear and idempotent, and W was on-manifold k steps ago). Between
     projections the circular-wraparound leakage is bounded by k raw
     updates, each decayed by the Kalman transition a<1.
+
+    GRADED (on-chip 8-scene battery, validate_precision fused_bal_ce2/4):
+    constrain_every=2 loses 0.6-1.4 dB tail ERLE on the high-ERLE scenes
+    (echo_only -1.36, long_rir -0.64, bulk_delay -0.44) and measurably
+    CHANGES the adaptation dynamics (speech_far +3.4 dB — a different
+    algorithm, not a numerics tier), so it is NOT routed by any quality
+    mode; the round-1 "constrain-every-k dead end" verdict stands under
+    proper slope-era measurement. Kept as an explicit opt-in for callers
+    who accept the trade.
     """
     dot_x, dot_y, dot_e, dot_c, dot_fb = dots
     (fwr_hi, fwr_lo, fwi_hi, fwi_lo,
