@@ -39,6 +39,12 @@ def main() -> None:
         "specialist": os.path.join(ckpt_dir, "little_net_synthetic.npz"),
         "robust": os.path.join(ckpt_dir, "little_net_robust.npz"),
     }
+    # extra candidates from argv: name=path pairs
+    import sys
+
+    for arg in sys.argv[1:]:
+        name, _, path = arg.partition("=")
+        ckpts[name] = path
     erb = jnp.asarray(erb_filterbank())
     scenes = make_scenes(np.random.default_rng(0), n=4 * 16384)
 

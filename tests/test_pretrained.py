@@ -112,3 +112,25 @@ def test_specialist_fails_nonlinear_scene(scenes):
     the dual-checkpoint story should be revisited."""
     e_lin, e_two = _erles(_load(SPECIALIST), *scenes["nonlinear"])
     assert e_two < e_lin  # the failure mode is real
+
+
+GENERAL = os.path.join(CKPT_DIR, "little_net_general.npz")
+
+
+@pytest.mark.skipif(not os.path.isfile(GENERAL), reason="checkpoint absent")
+def test_general_strong_on_both_scenes(scenes):
+    """Round-3 third checkpoint: same mixed-scene recipe as robust at 4x
+    the compute (6000 steps, batch 128 — examples/train_synthetic.py).
+    On-chip battery grade (checkpoint_quality_r3.json): beats robust on 6
+    of 8 scenes (echo_only 45->73 dB, long_rir 42->85, bulk_delay 61->99,
+    speech_far 71->89, speech_dtalk 66->73) at <=0.02 STOI cost. On THIS
+    file's clean speech-noise scene it behaves like robust (measured
+    ~20 dB vs robust's ~22; the specialist's ~90 dB there remains
+    unmatched by any mixed-trained model — extra compute does not close
+    the specialization gap, it widens the battery wins). Pinned: strong
+    nonlinear margin + the robust-grade clean floor."""
+    params = _load(GENERAL)
+    _, e_two_c = _erles(params, *scenes["clean"])
+    e_lin_n, e_two_n = _erles(params, *scenes["nonlinear"])
+    assert e_two_c > 15.0, e_two_c  # measured ~20.0 dB
+    assert e_two_n > e_lin_n + 20.0, (e_lin_n, e_two_n)
