@@ -53,7 +53,7 @@ from aec_tpu.kernels import bl_common as bl
 from aec_tpu.kernels import precision as prec
 
 
-def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str):
+def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str, unroll: int):
     hop = cfg.hop
     high = dot_mode == "high"
     dots = (
@@ -73,22 +73,27 @@ def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str):
             for ref in state:
                 ref[:] = jnp.zeros_like(ref)
 
-        # OLA emit: step t completes output block t-1; the t = 0 write is
-        # placeholder data into the same buffered block that step 1
-        # overwrites before it is flushed (out index_map clamps to 0)
-        out_block, mask = bl.stage2_frame_step(
-            e_bands, hop, dots, consts, vecs, state,
-            lin_ref[0, 0], far_ref[0, 0],
-        )
-        mask_ref[0, 0] = mask
-        out_ref[0, 0] = out_block
+        # OLA emit, UNSHIFTED: sub-step j of grid step t processes frame
+        # t*unroll + j and emits the output block that frame COMPLETES
+        # (block t*unroll + j - 1) into out slot (t, j); the wrapper drops
+        # the first flat slot (frame 0 completes nothing real) instead of
+        # the old clamped index_map shift.
+        for j in range(unroll):
+            out_block, mask = bl.stage2_frame_step(
+                e_bands, hop, dots, consts, vecs, state,
+                lin_ref[0, 0, j], far_ref[0, 0, j],
+            )
+            mask_ref[0, 0, j] = mask
+            out_ref[0, 0, j] = out_block
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "interpret", "tile", "dot_mode", "vmem_limit_mb"),
+    static_argnames=(
+        "cfg", "interpret", "tile", "dot_mode", "vmem_limit_mb", "unroll"
+    ),
 )
 def little_net_apply_fused(
     params,
@@ -101,8 +106,15 @@ def little_net_apply_fused(
     tile: int = 256,
     dot_mode: str = "default",
     vmem_limit_mb: int | None = 100,
+    unroll: int = 4,
 ) -> jax.Array:
-    """Fused stage-2: blocks in -> enhanced blocks (BATCH, Tb, hop)."""
+    """Fused stage-2: blocks in -> enhanced blocks (BATCH, Tb, hop).
+
+    ``unroll``: frames processed per grid step (time padded with zero
+    blocks past the flush frame; padded outputs are sliced off). Default 4
+    — same-process slope A/B at 256 x 8.2 s: u1 5.95 / u2 5.42 / u4 5.20 /
+    u8 5.67 ms (ab_balanced_time stage2_bl_*); outputs are bit-identical
+    across unrolls (interpret-mode verified)."""
     batch, t_blocks, hop = lin_blocks.shape
     assert hop == cfg.hop
     k = cfg.n_freqs
@@ -110,29 +122,32 @@ def little_net_apply_fused(
 
     tile = min(tile, batch)
     b_pad = (-batch) % tile
-    # one trailing zero block per signal: the stft right pad / flush frame
-    lin_blocks = jnp.pad(lin_blocks, [(0, b_pad), (0, 1), (0, 0)])
-    far_blocks = jnp.pad(far_blocks, [(0, b_pad), (0, 1), (0, 0)])
+    # one trailing zero block per signal (the stft right pad / flush
+    # frame) + zero blocks up to an unroll multiple (outputs discarded)
+    t_total = -(-(t_blocks + 1) // unroll) * unroll
+    lin_blocks = jnp.pad(
+        lin_blocks, [(0, b_pad), (0, t_total - t_blocks), (0, 0)]
+    )
+    far_blocks = jnp.pad(
+        far_blocks, [(0, b_pad), (0, t_total - t_blocks), (0, 0)]
+    )
     bt = (batch + b_pad) // tile
-    t_total = t_blocks + 1
+    t_steps = t_total // unroll
 
-    def tm(a):  # (B, T, hop) -> (bt, T, hop, tile)
+    def tm(a):  # (B, T, hop) -> (bt, t_steps, unroll, hop, tile)
         a = a.astype(jnp.float32).reshape(bt, tile, t_total, hop)
-        return jnp.transpose(a, (0, 2, 3, 1))
+        a = jnp.transpose(a, (0, 2, 3, 1))
+        return a.reshape(bt, t_steps, unroll, hop, tile)
 
     const_ops = bl.stage2_consts(params, erb, cfg)
     vecs = bl.stage2_vecs(params, cfg)
 
     step = pl.BlockSpec(
-        (1, 1, hop, tile), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (1, 1, hop, tile),
-        lambda b, t: (b, jnp.maximum(t - 1, 0), 0, 0),
+        (1, 1, unroll, hop, tile), lambda b, t: (b, t, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     mask_spec = pl.BlockSpec(
-        (1, 1, e_bands, tile), lambda b, t: (b, t, 0, 0),
+        (1, 1, unroll, e_bands, tile), lambda b, t: (b, t, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     whole = lambda r, c: pl.BlockSpec(  # noqa: E731
@@ -140,15 +155,17 @@ def little_net_apply_fused(
     )
 
     out, mask = pl.pallas_call(
-        _kernel(cfg, e_bands, dot_mode),
-        grid=(bt, t_total),
+        _kernel(cfg, e_bands, dot_mode, unroll),
+        grid=(bt, t_steps),
         in_specs=[step, step]
         + [whole(*c.shape) for c in const_ops]
         + [whole(*v.shape) for v in vecs],
-        out_specs=[out_spec, mask_spec],
+        out_specs=[step, mask_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((bt, t_blocks, hop, tile), jnp.float32),
-            jax.ShapeDtypeStruct((bt, t_total, e_bands, tile), jnp.float32),
+            jax.ShapeDtypeStruct((bt, t_steps, unroll, hop, tile), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (bt, t_steps, unroll, e_bands, tile), jnp.float32
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((e_bands, tile), jnp.float32),  # gru h
@@ -169,9 +186,14 @@ def little_net_apply_fused(
         *const_ops,
         *vecs,
     )
-    # (bt, Tb, hop, tile) -> (BATCH, Tb, hop); mask -> (BATCH, T, E)
+    # out slot for frame f holds the block frame f COMPLETES (block f-1):
+    # drop flat slot 0, keep blocks 0..t_blocks-1. mask slot f IS frame f.
+    out = out.reshape(bt, t_total, hop, tile)[:, 1 : t_blocks + 1]
+    mask = mask.reshape(bt, t_total, e_bands, tile)[:, : t_blocks + 1]
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(bt * tile, t_blocks, hop)
-    mask = jnp.transpose(mask, (0, 3, 1, 2)).reshape(bt * tile, t_total, e_bands)
+    mask = jnp.transpose(mask, (0, 3, 1, 2)).reshape(
+        bt * tile, t_blocks + 1, e_bands
+    )
     return out[:batch], mask[:batch]
 
 
@@ -187,6 +209,7 @@ def little_net_apply_fused_wav(
     interpret: bool = False,
     tile: int = 256,
     dot_mode: str = "default",
+    unroll: int = 4,
 ) -> dict[str, jax.Array]:
     """Waveform-level fused stage-2, drop-in for little_net_apply's ``wav``.
 
@@ -206,6 +229,6 @@ def little_net_apply_fused_wav(
     blocks = lambda a: a.reshape(a.shape[0], -1, cfg.hop)  # noqa: E731
     out, mask = little_net_apply_fused(
         params, blocks(mic), blocks(ref), erb, cfg,
-        interpret=interpret, tile=tile, dot_mode=dot_mode,
+        interpret=interpret, tile=tile, dot_mode=dot_mode, unroll=unroll,
     )
     return {"wav": out.reshape(out.shape[0], -1)[:, :n], "mask": mask}

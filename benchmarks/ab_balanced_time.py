@@ -152,6 +152,25 @@ def main() -> None:
     maybe("two_stage_prod_parity", lambda: prod("parity", 9))
     maybe("two_stage_prod_fast", lambda: prod("fast", 10))
 
+    # stage-2 kernel time-axis unroll (round-3: biggest relative SoL gap)
+    from aec_tpu.kernels.pallas_stage2 import little_net_apply_fused_wav
+
+    def s2(unroll, i):
+        return slope_time(
+            lambda x: jnp.sum(
+                little_net_apply_fused_wav(
+                    params, x[0], x[1], erb, normalize=False, unroll=unroll
+                )["wav"]
+            ),
+            (2, BATCH, N),
+            jax.random.fold_in(key, i),
+        )
+
+    maybe("stage2_bl_u1", lambda: s2(1, 20))
+    maybe("stage2_bl_u2", lambda: s2(2, 21))
+    maybe("stage2_bl_u4", lambda: s2(4, 22))
+    maybe("stage2_bl_u8", lambda: s2(8, 23))
+
     print(json.dumps(results))
 
 
