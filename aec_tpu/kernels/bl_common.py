@@ -223,6 +223,28 @@ def stage2_vecs(params, cfg) -> list[jax.Array]:
     ]
 
 
+def step_index(t_inner: int, unroll: int, u: int):
+    """Linear block index of unroll sub-step ``u`` on the 2-level
+    (batch, t_outer, t_inner) grid both bl kernels share — the alternating
+    constraint schedule keys off this."""
+    return (pl.program_id(1) * t_inner + pl.program_id(2)) * unroll + u
+
+
+def reproject_w(dots, consts, wr, wi):
+    """Whole-filter constraint re-projection (the alternating scheme's
+    projection step; see kalman_block_step's ``project`` doc). Applies the
+    factored head/tail pair from the 24-tuple ``consts`` to the W refs
+    in place — shared so the Kalman and NLMS kernels stay in lockstep."""
+    dot_c, dot_fb = dots[3], dots[4]
+    (ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
+     fbr_hi, fbr_lo, fbi_hi, fbi_lo) = consts[14:24]
+    t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, wr[:]) + dot_c(
+        ihi_hi, ihi_lo, ihi_last, wi[:]
+    )
+    wr[:] = dot_fb(fbr_hi, fbr_lo, t_blk)
+    wi[:] = dot_fb(fbi_hi, fbi_lo, t_blk)
+
+
 def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
                       project=True):
     """One batched PBFD-Kalman block update on batch-in-lanes refs.
@@ -317,11 +339,7 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
 
         @pl.when(project)
         def _reproject():
-            t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, wr[:]) + dot_c(
-                ihi_hi, ihi_lo, ihi_last, wi[:]
-            )
-            wr[:] = dot_fb(fbr_hi, fbr_lo, t_blk)
-            wi[:] = dot_fb(fbi_hi, fbi_lo, t_blk)
+            reproject_w(dots, consts, wr, wi)
 
     p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
     return e_blk

@@ -465,9 +465,7 @@ def _kernel_batched_bl(
             if constrain_every == 1:
                 project = True  # static: exact per-update projection
             else:
-                step_idx = (
-                    pl.program_id(1) * t_inner + pl.program_id(2)
-                ) * unroll + u
+                step_idx = bl.step_index(t_inner, unroll, u)
                 project = step_idx % constrain_every == constrain_every - 1
             e_ref[0, 0, 0, u] = bl.kalman_block_step(
                 cfg, l, tile, dots, consts, state,

@@ -161,13 +161,16 @@ def nlms_cancel_fused(
     block: int = 256,
     interpret: bool = False,
     unroll: int = 1,
-    dot_mode: str = "mixed",
+    dot_mode: str = "high",
 ) -> dict[str, jax.Array]:
     """Waveform in/out single-stream NLMS on the fused kernel. far/mic: [n].
 
-    ``dot_mode`` defaults to "mixed" — the library's production per-op
-    precision policy (see kalman_cancel_fused; same-process A/B on v5e:
-    high 1.34 ms / mixed 1.01 ms / bf16 0.96 ms per 16 s utterance)."""
+    ``dot_mode`` defaults to "high": NLMS has NO safe mixed tier (the
+    per-op mixed policy loses 18-26 dB tail ERLE on deep-convergence
+    scenes — linear/nlms.py docstring + validate_precision nlms_erle), so
+    unlike the Kalman sibling the broken-for-NLMS tier must be an explicit
+    opt-in, never a default. (Speed context, same-process v5e A/B: high
+    1.34 ms / mixed 1.01 ms per 16 s utterance.)"""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)
@@ -271,24 +274,25 @@ def _kernel_batched_bl(
                 wr[:] = wr[:] + mu * dot_fb(fbr_hi, fbr_lo, t_blk)
                 wi[:] = wi[:] + mu * dot_fb(fbi_hi, fbi_lo, t_blk)
             else:
-                # alternating constraint (see bl_common.kalman_block_step):
-                # raw accumulate, re-project the WHOLE filter on schedule.
-                # NLMS has no transition decay, but the projection removes
-                # ALL accumulated wraparound each time it runs, so leakage
-                # is bounded by constrain_every raw updates.
+                # alternating constraint (schedule + projection shared
+                # with the Kalman kernel via bl_common): raw accumulate,
+                # re-project the WHOLE filter on schedule. NLMS has no
+                # transition decay, but the projection removes ALL
+                # accumulated wraparound each time it runs, so leakage is
+                # bounded by constrain_every raw updates.
                 wr[:] = wr[:] + mu * gr
                 wi[:] = wi[:] + mu * gi
-                step_idx = (
-                    pl.program_id(1) * t_inner + pl.program_id(2)
-                ) * unroll + u
+                step_idx = bl.step_index(t_inner, unroll, u)
+                dots = (dot_x, dot_y, dot_e, dot_c, dot_fb)
+                consts = (fwr_hi, fwr_lo, fwi_hi, fwi_lo,
+                          itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
+                          fr_hi, fr_lo, fi_hi, fi_lo,
+                          ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
+                          fbr_hi, fbr_lo, fbi_hi, fbi_lo)
 
                 @pl.when(step_idx % constrain_every == constrain_every - 1)
                 def _reproject():
-                    t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, wr[:]) + dot_c(
-                        ihi_hi, ihi_lo, ihi_last, wi[:]
-                    )
-                    wr[:] = dot_fb(fbr_hi, fbr_lo, t_blk)
-                    wi[:] = dot_fb(fbi_hi, fbi_lo, t_blk)
+                    bl.reproject_w(dots, consts, wr, wi)
 
     return kernel
 
@@ -309,12 +313,16 @@ def nlms_filter_fused_batched_bl(
     interpret: bool = False,
     unroll: int | None = None,
     tile: int | None = None,
-    dot_mode: str = "mixed",
+    dot_mode: str = "balanced",
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
     constrain_every: int = 1,
 ) -> jax.Array:
-    """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, t_outer, t_inner)."""
+    """Batched fused NLMS, batch-in-lanes: grid (batch_tiles, t_outer, t_inner).
+
+    ``dot_mode`` defaults to "balanced", NOT the Kalman sibling's "mixed":
+    the mixed tier loses 18-26 dB tail ERLE on NLMS's deep-convergence
+    scenes (linear/nlms.py), so it must be requested explicitly."""
     batch, t_steps, _ = far_blocks.shape
     k = block + 1
     l = cfg.n_blocks
@@ -404,13 +412,15 @@ def nlms_cancel_fused_batched_bl(
     interpret: bool = False,
     tile: int | None = None,
     unroll: int | None = None,
-    dot_mode: str = "mixed",
+    dot_mode: str = "balanced",
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
     constrain_every: int = 1,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched NLMS on the batch-in-lanes fused kernel.
-    ``tile=None`` resolves per dot_mode (256 production, 128 native)."""
+    ``tile=None`` resolves per dot_mode (256 production, 128 native).
+    ``dot_mode`` defaults to "balanced" — NLMS has no safe mixed tier
+    (see linear/nlms.py); "mixed" must be an explicit opt-in."""
     n = mic.shape[-1]
     farp = ols.pad_to_blocks(far, block)
     micp = ols.pad_to_blocks(mic, block)

@@ -102,13 +102,22 @@ def two_stage_cancel(
       budget at either ``quality``. Pass ``stage2_precision=None`` for
       parity-grade HIGHEST.
     - ``fast=True`` (legacy, overrides ``quality``) forces BOTH stages
-      all-DEFAULT (stage-1 then loses up to 1.45 dB tail-ERLE on
-      >40 dB-ERLE scenes; 0.00 dB on double-talk and path-change).
+      all-DEFAULT — for Kalman that loses up to 1.45 dB tail-ERLE on
+      >40 dB-ERLE scenes (0.00 dB on double-talk and path-change). NLMS is
+      EXEMPT from the stage-1 downgrade at this knob too: an all-DEFAULT
+      NLMS scan sits below even the mixed tier that measures -18 to -26 dB
+      on deep-convergence scenes (linear/nlms.py), a trade no named mode
+      makes silently — with ``stage1="nlms"`` only stage 2 drops to
+      DEFAULT.
 
     Returns dict with ``wav`` (final), ``linear_wav`` (stage-1 output), and
     the stage-2 ``mask``.
     """
-    precision = jax.lax.Precision.DEFAULT if fast else None
+    # NLMS refuses every unsafe stage-1 tier (see its docstring); the
+    # legacy all-DEFAULT knob only downgrades stage 2 for it
+    precision = (
+        jax.lax.Precision.DEFAULT if fast and stage1 != "nlms" else None
+    )
     p2 = jax.lax.Precision.DEFAULT if fast else stage2_precision
     q1 = "fast" if fast else quality
     if far.ndim == 2 and _route_single_kernel(
