@@ -55,7 +55,7 @@ def load_params(model_file: str):
 
 def _make_enhancer(
     model: str, model_file: str, stage1: str, scfg: StftConfig,
-    normalize: bool = True,
+    normalize: bool = True, align_far_ms: float = 0.0,
 ):
     """Returns enhance(far [B,n], mic [B,n]) -> wav [B,n], loading weights.
 
@@ -71,8 +71,17 @@ def _make_enhancer(
             f"a framework .npz checkpoint"
         )
     lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[stage1]
+    max_shift = int(align_far_ms / 1e3 * 16000) // scfg.hop * scfg.hop
 
     def stage1_fn(far, mic):
+        if align_far_ms > 0:
+            # GCC-PHAT bulk-delay pre-alignment (dsp/delay.py): delays
+            # beyond the canceller's partition span are otherwise invisible
+            from aec_tpu.dsp.delay import estimate_and_align
+
+            far, _ = estimate_and_align(
+                far, mic, max_delay=max_shift, block=scfg.hop
+            )
         if stage1 == "kalman":
             return kalman_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
         if stage1 == "nlms":
@@ -164,6 +173,12 @@ def main(argv=None) -> None:
                             "dccrn", "att_ccrn"))
     p.add_argument("--stage1", choices=("none", "kalman", "nlms"), default="none",
                    help="optional linear AEC before the post-filter")
+    p.add_argument("--align-far-ms", type=float, default=0.0,
+                   help="if > 0, estimate each utterance's far/mic bulk "
+                        "delay up to this many ms (GCC-PHAT, dsp/delay.py) "
+                        "and pre-align the far end before stage 1 — needed "
+                        "when the delay exceeds the canceller's partition "
+                        "span (160 ms at the Kalman defaults)")
     p.add_argument("--normalize", action=argparse.BooleanOptionalAction, default=True,
                    help="apply the reference's in-forward pseudo-norm "
                         "(ERB.py:254-256; the Tester default, test.py:156). "
@@ -180,7 +195,8 @@ def main(argv=None) -> None:
     scfg = StftConfig()
     try:
         enhance, params = _make_enhancer(
-            args.model, args.model_file, args.stage1, scfg, normalize=args.normalize
+            args.model, args.model_file, args.stage1, scfg,
+            normalize=args.normalize, align_far_ms=args.align_far_ms,
         )
         log.info("Loaded %s from %s", args.model, args.model_file)
     except FileNotFoundError:

@@ -101,6 +101,19 @@ class KalmanConfig:
     a: float = 0.999
     psi_floor: float = 1e-10  # floor for covariance / psd estimates
     obs_smooth: float = 0.5  # smoothing for observation-noise psd estimate
+    # ABSOLUTE process-noise floor added to the covariance prediction
+    # (p_pred += q_min). The default multiplicative process noise
+    # (1-a^2)|W|^2 vanishes at W=0, which admits a measured cold-start
+    # DEADLOCK: a far-end onset whose echo has not arrived yet makes the
+    # filter confidently learn W=0 (covariance -> floor), the uncancelled
+    # echo then inflates the observation-noise psd, and the frozen filter
+    # never escapes (1.2 dB ERLE after 8 s; triggered by sub-block-aligned
+    # silent far prefixes with ~0.5-block residual delay — see
+    # dsp/delay.py, tests/test_delay.py). q_min=1e-3 restores 33 dB there
+    # at ~5 dB steady-state cost on deep-convergence scenes (47.8 -> 43.0),
+    # so it is OFF by default; block-quantized pre-alignment (dsp/delay)
+    # avoids the trigger instead.
+    q_min: float = 0.0
     init_p: float = 10.0  # initial state covariance (fast initial adaptation)
 
 

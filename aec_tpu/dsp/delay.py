@@ -1,0 +1,102 @@
+"""Bulk-delay estimation (GCC-PHAT) + far-end pre-alignment.
+
+Real deployments see far-end/mic bulk delays from buffering and network
+jitter. The stage-1 cancellers track any echo path INSIDE their partition
+span (KalmanConfig.n_blocks * block = 10 * 16 ms = 160 ms by default) —
+measured on the scene battery up to 120 ms with no ERLE loss — but a delay
+beyond the span is invisible to them (measured 0.0 dB ERLE at 250 ms).
+The reference has no answer to this (its data contract assumes aligned
+wavs, train_wav2h5.py:10-52); AEC-Challenge-style front-ends solve it with
+a generalized cross-correlation pre-alignment, which this module provides
+TPU-natively:
+
+- :func:`gcc_phat_delay` — batched GCC-PHAT: whitened cross-spectrum via
+  ``jnp.fft.rfft`` (inside jit the axon backend decomposes complex fine;
+  inputs stay rank-2 per the backend's rank-1 lowering gaps), inverse
+  transform, argmax over the allowed lag window. One jit, no host sync.
+- :func:`align_far` — shift the far-end forward by a TRACED per-utterance
+  delay (pad + vmapped ``lax.dynamic_slice``; no gathers).
+- :func:`estimate_and_align` — the two composed; returns the aligned far
+  and the delays so callers can subtract the shift from output timestamps.
+
+``cli/infer --align-far-ms N`` applies this before the stage-1 canceller.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gcc_phat_delay(
+    far: jax.Array,  # [B, n]
+    mic: jax.Array,  # [B, n]
+    *,
+    max_delay: int,
+    min_delay: int = 0,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Per-utterance bulk delay (samples, int32) of mic's echo vs far.
+
+    PHAT weighting divides out the magnitude spectrum, so the correlation
+    peak is sharp even for colored far-ends (speech) through reverberant
+    paths — the standard robustness argument for GCC-PHAT over plain
+    cross-correlation. Only non-negative lags in [min_delay, max_delay)
+    are searched (the echo cannot precede the reference).
+    """
+    n = far.shape[-1]
+    x = jnp.fft.rfft(far.astype(jnp.float32))
+    y = jnp.fft.rfft(mic.astype(jnp.float32))
+    cross = y * jnp.conj(x)
+    r = jnp.fft.irfft(cross / (jnp.abs(cross) + eps), n=n)  # [B, n] lags
+    window = r[..., min_delay:max_delay]
+    return (min_delay + jnp.argmax(window, axis=-1)).astype(jnp.int32)
+
+
+def align_far(far: jax.Array, delay: jax.Array, max_delay: int) -> jax.Array:
+    """Shift each far row FORWARD by its delay (zeros enter at the front).
+
+    ``aligned[t] = far[t - delay]`` — after this, the echo path seen by the
+    canceller starts near lag 0. ``max_delay`` bounds the traced shift so
+    the pad is static.
+    """
+    padded = jnp.pad(far, [(0, 0), (max_delay, 0)])
+
+    def shift(row, d):
+        return jax.lax.dynamic_slice(
+            row, (max_delay - d.astype(jnp.int32),), (far.shape[-1],)
+        )
+
+    return jax.vmap(shift)(padded, delay)
+
+
+def estimate_and_align(
+    far: jax.Array,
+    mic: jax.Array,
+    *,
+    max_delay: int,
+    min_delay: int = 0,
+    guard: int = 512,
+    block: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """(aligned_far, applied_shifts). Batched [B, n]; one jit expression.
+
+    Two corrections on top of the raw GCC-PHAT peak, both measured:
+
+    - ``guard``: the peak marks the DOMINANT path, not the first one —
+      aligning to it exactly makes every earlier RIR tap ACAUSAL and
+      uncancellable (measured 2.7 dB ERLE with guard=0 on an
+      exponential-decay RIR whose peak sits 29 taps after onset). The
+      default 512 (32 ms) spends 1/5 of the default Kalman span.
+    - ``block`` quantization: shifts are floored to BLOCK multiples. A
+      sub-block-aligned silent prefix can trigger the Kalman cold-start
+      deadlock (KalmanConfig.q_min doc: the onset frames learn W=0 with
+      collapsing covariance before the echo arrives, then the inflated
+      observation-noise psd freezes the filter — measured 1.2 dB ERLE at
+      prefix 3517 / residual 483, vs 34+ dB at every block-aligned prefix
+      tried). Block-aligned shifts avoid the trigger entirely and are the
+      natural grid for the block-processing front-end.
+    """
+    d = gcc_phat_delay(far, mic, max_delay=max_delay, min_delay=min_delay)
+    shift = jnp.maximum(d - guard, 0) // block * block
+    return align_far(far, shift, max_delay), shift

@@ -306,7 +306,10 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
 
     # predict
     wr_p, wi_p = a * wr[:], a * wi[:]
-    p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+    p_pred = (
+        a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+        + kcfg.q_min
+    )
 
     # prior residual
     yr = lsum(wr_p * xr - wi_p * xi)  # (K, tile)

@@ -110,7 +110,10 @@ def _kernel(cfg: KalmanConfig, k: int, block: int, unroll: int, dot_mode: str):
 
             # predict
             wr_p, wi_p = a * wr[:], a * wi[:]
-            p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+            p_pred = (
+                a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+                + cfg.q_min
+            )
 
             # prior residual: y = sum_l W X (complex); time block via matmul
             yr = jnp.sum(wr_p * xr - wi_p * xi, axis=0, keepdims=True)  # (1, K)
@@ -255,7 +258,10 @@ def _kernel_batched(
 
             # predict
             wr_p, wi_p = a * wr[:], a * wi[:]
-            p_pred = a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+            p_pred = (
+                a2 * p[:] + (1.0 - a2) * (wr[:] * wr[:] + wi[:] * wi[:])
+                + cfg.q_min
+            )
 
             # prior residual: y = sum_l W X per utterance, time block via MXU
             yr = jnp.sum((wr_p * xr - wi_p * xi).reshape(l, tile, k), axis=0)

@@ -86,7 +86,7 @@ def kalman_step(
     # Predict.
     wr, wi = ols.ri_split(state["w"])
     wr_p, wi_p = cfg.a * wr, cfg.a * wi
-    p_pred = a2 * state["p"] + (1.0 - a2) * (wr * wr + wi * wi)
+    p_pred = a2 * state["p"] + (1.0 - a2) * (wr * wr + wi * wi) + cfg.q_min
 
     # Prior residual (overlap-save time domain), then its spectrum.
     y_ri = ols.ri_join(
