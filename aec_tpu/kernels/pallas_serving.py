@@ -1,0 +1,248 @@
+"""Pallas TPU kernel: one fused two-stage SERVING step for many streams.
+
+The serving hot loop (pipeline/streaming.stream_step_batched) advances S
+live sessions one 16 ms hop per call. Its cost floor is the per-stream
+state round trip — ~54 KB/stream of filter taps/covariance/rings that must
+leave HBM and return EVERY call (docs/ROOFLINE.md: 0.139 ms of pure HBM
+time at S=1024 vs 0.227 ms measured for the XLA scan step, i.e. ~61% of
+the bandwidth speed-of-light). This kernel attacks the remaining 39%:
+
+- the state lives in a KERNEL-NATIVE tile-blocked layout
+  (``ServingState``: per stream-tile arrays shaped like the offline
+  batch-in-lanes kernels' VMEM scratch — bins in sublanes, (partition x
+  stream) columns in lanes), so there are no per-call transposes;
+- the grid walks stream tiles; Pallas's automatic block pipelining
+  DOUBLE-BUFFERS each tile's state: while tile i computes, tile i+1's
+  state streams in and tile i-1's streams out — overlapping the mandatory
+  HBM traffic with the MXU work the scan step serializes against it;
+- state arrays are passed as input/output pairs with
+  ``input_output_aliases`` (in-place HBM update, no extra allocation);
+- the math is EXACTLY one `bl_common.kalman_block_step` +
+  `stage2_frame_step` per tile — the same shared step functions as the
+  offline kernels, at the same routed dot tiers (``dot_mode="balanced"``
+  default = the quality="parity" grade).
+
+Scope: stage1="kalman", normalize=False (the serving default). Normalized
+or NLMS sessions keep the XLA scan path. The flush block and the one-hop
+output lag follow pipeline/streaming semantics exactly — parity is pinned
+in tests/test_pallas_serving.py against stream_step_batched.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import TypedDict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aec_tpu.configs import KalmanConfig
+from aec_tpu.dsp.stft import StftConfig
+from aec_tpu.kernels import bl_common as bl
+from aec_tpu.kernels import precision as prec
+
+
+class ServingState(TypedDict):
+    """Kernel-layout serving state; every leaf is (n_tiles, rows, lanes)."""
+
+    wr: jax.Array  # (nt, K, L*tile)
+    wi: jax.Array
+    p: jax.Array
+    xbr: jax.Array
+    xbi: jax.Array
+    psi: jax.Array  # (nt, K, tile)
+    fprev: jax.Array  # (nt, hop, tile) — stage-1 far ring (last block)
+    h: jax.Array  # (nt, E, tile)
+    tail: jax.Array  # (nt, hop, tile)
+    prev_lin: jax.Array
+    prev_far: jax.Array  # stage-2 framing ring (== fprev value, own buffer)
+
+
+_S1 = ("wr", "wi", "p", "xbr", "xbi", "psi", "fprev")
+_S2 = ("h", "tail", "prev_lin", "prev_far")
+_KEYS = _S1 + _S2
+
+
+def serving_init(
+    n_streams: int,
+    *,
+    tile: int = 128,
+    kcfg: KalmanConfig = KalmanConfig(),
+    scfg: StftConfig = StftConfig(),
+    e_bands: int = 32,
+) -> ServingState:
+    if n_streams % tile:
+        raise ValueError(f"n_streams {n_streams} must be a multiple of tile {tile}")
+    nt, k, l, hop = n_streams // tile, scfg.hop + 1, kcfg.n_blocks, scfg.hop
+    z = lambda r, c: jnp.zeros((nt, r, c), jnp.float32)  # noqa: E731
+    return ServingState(
+        wr=z(k, l * tile), wi=z(k, l * tile),
+        p=jnp.full((nt, k, l * tile), kcfg.init_p, jnp.float32),
+        xbr=z(k, l * tile), xbi=z(k, l * tile),
+        psi=jnp.full((nt, k, tile), kcfg.psi_floor, jnp.float32),
+        fprev=z(hop, tile), h=z(e_bands, tile), tail=z(hop, tile),
+        prev_lin=z(hop, tile), prev_far=z(hop, tile),
+    )
+
+
+class _Sq:
+    """Leading-unit-dim squeeze adapter: the shared step functions index
+    their state refs as 2-D (``wr[:]``, ``xbr[:, :-tile]``); our per-tile
+    in/out blocks carry a leading 1."""
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def _at(self, idx):
+        return (0, *(idx if isinstance(idx, tuple) else (idx,)))
+
+    def __getitem__(self, idx):
+        return self.ref[self._at(idx)]
+
+    def __setitem__(self, idx, v):
+        self.ref[self._at(idx)] = v
+
+
+def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode):
+    hop = scfg.hop
+    high = dot_mode == "high"
+    s1_dots = bl.stage1_dots(dot_mode)
+    s2_dots = (
+        prec.dot_high_lhs if high else prec.dot_fast_lhs,
+        prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1,
+    )
+    n_state = len(_KEYS)
+
+    def kernel(far_ref, d_ref, *args):
+        st_in = args[:n_state]
+        s1c = args[n_state : n_state + 24]
+        s2c = args[n_state + 24 : n_state + 46]
+        vecs = args[n_state + 46 : n_state + 51]
+        st_out = args[n_state + 51 : 2 * n_state + 51]
+        out_ref = args[2 * n_state + 51]
+
+        # state blocks arrive read-only; copy once and step on the OUT
+        # refs in place (output refs are readable VMEM)
+        for i, o in zip(st_in, st_out):
+            o[:] = i[:]
+        st = [_Sq(o) for o in st_out]
+        far_b, mic_b = far_ref[0], d_ref[0]
+        e_blk = bl.kalman_block_step(
+            kcfg, l, tile, s1_dots, s1c, tuple(st[: len(_S1)]), far_b, mic_b
+        )
+        out_block, _mask = bl.stage2_frame_step(
+            e_bands, hop, s2_dots, s2c, vecs,
+            tuple(st[len(_S1):]), e_blk, far_b,
+        )
+        out_ref[0] = out_block
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kcfg", "scfg", "interpret", "dot_mode", "vmem_limit_mb"),
+)
+def serving_step_fused(
+    params,
+    state: ServingState,
+    far_block: jax.Array,  # (S, hop)
+    mic_block: jax.Array,  # (S, hop)
+    erb: jax.Array,
+    kcfg: KalmanConfig = KalmanConfig(),
+    scfg: StftConfig = StftConfig(),
+    *,
+    interpret: bool = False,
+    dot_mode: str = "balanced",
+    vmem_limit_mb: int | None = 100,
+) -> tuple[ServingState, jax.Array]:
+    """One 16 ms hop for S streams -> (new_state, out_block (S, hop)).
+
+    Emits with the same one-hop lag as stream_step; the first emitted
+    block is the trimmed left edge (discard), and the final block needs a
+    zero-block flush call, exactly as in pipeline/streaming.
+    """
+    nt, k, lt = state["wr"].shape
+    l = kcfg.n_blocks
+    tile = lt // l
+    hop = scfg.hop
+    e_bands = state["h"].shape[1]
+
+    def tm(a):  # (S, hop) -> (nt, hop, tile)
+        a = a.astype(jnp.float32).reshape(nt, tile, hop)
+        return jnp.transpose(a, (0, 2, 1))
+
+    s1c = bl.stage1_consts(hop)
+    s2c = bl.stage2_consts(params, erb, scfg)
+    vecs = bl.stage2_vecs(params, scfg)
+
+    blk = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (1, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    st_specs = [blk(*state[key].shape[1:]) for key in _KEYS]
+    st_shapes = [
+        jax.ShapeDtypeStruct(state[key].shape, jnp.float32) for key in _KEYS
+    ]
+
+    n_state = len(_KEYS)
+    outs = pl.pallas_call(
+        _kernel(kcfg, scfg, e_bands, tile, l, dot_mode),
+        grid=(nt,),
+        in_specs=[blk(hop, tile), blk(hop, tile)]
+        + st_specs
+        + [whole(*c.shape) for c in s1c]
+        + [whole(*c.shape) for c in s2c]
+        + [whole(*v.shape) for v in vecs],
+        out_specs=st_specs + [blk(hop, tile)],
+        out_shape=st_shapes
+        + [jax.ShapeDtypeStruct((nt, hop, tile), jnp.float32)],
+        # state inputs (after far/mic) update in place
+        input_output_aliases={2 + i: i for i in range(n_state)},
+        interpret=interpret,
+        compiler_params=(
+            None if vmem_limit_mb is None
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+        ),
+    )(
+        tm(far_block), tm(mic_block),
+        *[state[key] for key in _KEYS],
+        *s1c, *s2c, *vecs,
+    )
+    new_state = ServingState(**dict(zip(_KEYS, outs[:n_state])))
+    out = outs[n_state]  # (nt, hop, tile)
+    out = jnp.transpose(out, (0, 2, 1)).reshape(nt * tile, hop)
+    return new_state, out
+
+
+def serving_state_from_stream(state, *, tile: int = 128,
+                              kcfg: KalmanConfig = KalmanConfig()) -> ServingState:
+    """StreamState (leading stream axis) -> kernel layout, for parity tests
+    and for migrating live scan sessions onto the kernel path."""
+    s1 = state["stage1"]
+    s_total, l, two_k = s1["w"].shape
+    k = two_k // 2
+    nt = s_total // tile
+
+    def lanes(a):  # (S, L, K) -> (nt, K, L*tile)
+        a = a.reshape(nt, tile, l, k)
+        return jnp.transpose(a, (0, 3, 2, 1)).reshape(nt, k, l * tile)
+
+    def cols(a):  # (S, rows) -> (nt, rows, tile)
+        return jnp.transpose(a.reshape(nt, tile, -1), (0, 2, 1))
+
+    return ServingState(
+        wr=lanes(s1["w"][..., :k]), wi=lanes(s1["w"][..., k:]),
+        p=lanes(s1["p"]),
+        xbr=lanes(s1["x_buf"][..., :k]), xbi=lanes(s1["x_buf"][..., k:]),
+        psi=cols(s1["psi"]),
+        fprev=cols(state["prev_far"]), h=cols(state["gru_h"]),
+        tail=cols(state["syn_tail"]), prev_lin=cols(state["prev_lin"]),
+        prev_far=cols(state["prev_far"]),
+    )

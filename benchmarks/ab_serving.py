@@ -1,0 +1,121 @@
+"""Same-process slope A/B: fused Pallas serving step vs the XLA scan step.
+
+S=1024 live two-stage sessions advanced k blocks inside one program
+(lax.scan carrying the stream state — the serving recursion). The scan
+step measures ~0.227 ms/block against a 0.139 ms state-bandwidth floor
+(docs/ROOFLINE.md); the fused kernel (kernels/pallas_serving.py) pipelines
+each stream-tile's state DMA against the previous tile's compute.
+
+Usage: python -m benchmarks.ab_serving [filters]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aec_tpu.dsp.erb import erb_filterbank
+from aec_tpu.dsp.stft import StftConfig
+from aec_tpu.kernels.pallas_serving import serving_init, serving_step_fused
+from aec_tpu.models.little_net import little_net_init
+from aec_tpu.pipeline.streaming import _stream_step_core, stream_init_batched
+
+S = 1024
+HOP = 256
+KS = (8, 32)
+
+
+def slope(fn, state, key, reps=3):
+    @partial(jax.jit, static_argnums=1)
+    def gen(k_, k):
+        return jax.random.normal(k_, (k, 2, S, HOP), jnp.float32)
+
+    med = {}
+    for k in KS:
+        bufs = [gen(jax.random.fold_in(key, 10 * k + r), k) for r in range(reps + 1)]
+        jax.block_until_ready(bufs)
+        float(fn(state, bufs[-1]))
+        ts = []
+        for b in bufs[:-1]:
+            t0 = time.perf_counter()
+            float(fn(state, b))
+            ts.append(time.perf_counter() - t0)
+        med[k] = float(np.median(ts))
+    per = (med[KS[1]] - med[KS[0]]) / (KS[1] - KS[0])
+    return max(per, 1e-9)
+
+
+def main() -> None:
+    params = little_net_init(jax.random.PRNGKey(0))
+    erb = jnp.asarray(erb_filterbank())
+    key = jax.random.PRNGKey(3)
+    only = sys.argv[1:]
+    results = {}
+
+    def maybe(name, thunk):
+        if only and not any(f in name for f in only):
+            return
+        per = thunk()
+        cap = S * (HOP / 16000.0) / per
+        results[name] = {"step_ms": round(per * 1e3, 3), "streams": round(cap, 1)}
+        print(name, results[name], flush=True)
+
+    def scan_step():
+        state = stream_init_batched(S)
+
+        @jax.jit
+        def run_k(st, fm):
+            def body(st, fm1):
+                st, out = jax.vmap(
+                    lambda s1, f, m: _stream_step_core(
+                        params, s1, f, m, erb, StftConfig(), "kalman", None
+                    )
+                )(st, fm1[0], fm1[1])
+                return st, jnp.sum(out)
+
+            return jnp.sum(jax.lax.scan(body, st, fm)[1])
+
+        return slope(run_k, state, jax.random.fold_in(key, 0))
+
+    def fused(tile, mode, i):
+        state = serving_init(S, tile=tile)
+
+        @jax.jit
+        def run_k(st, fm):
+            def body(st, fm1):
+                st, out = serving_step_fused(
+                    params, st, fm1[0], fm1[1], erb, dot_mode=mode
+                )
+                return st, jnp.sum(out)
+
+            return jnp.sum(jax.lax.scan(body, st, fm)[1])
+
+        return slope(run_k, state, jax.random.fold_in(key, i))
+
+    maybe("scan_step", scan_step)
+    maybe("fused_t128_balanced", lambda: fused(128, "balanced", 1))
+    maybe("fused_t256_balanced", lambda: fused(256, "balanced", 2))
+    maybe("fused_t128_mixed", lambda: fused(128, "mixed", 3))
+    maybe("fused_t512_balanced", lambda: fused(512, "balanced", 4))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    last = None
+    for _ in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            last = e
+            print("retry after:", e, flush=True)
+            time.sleep(5)
+    else:
+        raise last

@@ -288,10 +288,54 @@ def bench_concurrent_streams(small=False) -> dict:
     step_s = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo)
     if step_s < 20e-6:  # slope below timer noise: conservative fallback
         step_s = medians[k_hi] / k_hi
-    capacity = s * (hop / 16000.0) / step_s
+    scan_capacity = s * (hop / 16000.0) / step_s
+
+    if jax.default_backend() != "tpu":  # the kernel needs Mosaic
+        return {"metric": "concurrent_realtime_streams_per_chip",
+                "value": round(scan_capacity, 1), "unit": "streams",
+                "vs_baseline": None, "step_ms": round(step_s * 1e3, 3),
+                "batch_streams": s, "path": "scan"}
+
+    # fused Pallas serving step (kernels/pallas_serving.py): stream-tile
+    # grid pipelines each tile's state DMA against compute — measured AT
+    # the per-stream state-bandwidth floor (0.136 vs 0.139 ms predicted,
+    # docs/ROOFLINE.md), 1.6x the scan step's capacity
+    from aec_tpu.kernels.pallas_serving import serving_init, serving_step_fused
+
+    kstate = serving_init(s, tile=min(128, s))
+
+    def run_k_fused(state, blocks_fm):
+        def body(st, fm):
+            st, out = serving_step_fused(params, st, fm[0], fm[1], erb)
+            return st, jnp.sum(out)
+
+        st, outs = jax.lax.scan(body, state, blocks_fm)
+        return jnp.sum(outs)
+
+    fnf = jax.jit(run_k_fused)
+    mf = {}
+    for k in (k_lo, k_hi):
+        batches = [
+            jnp.asarray(rng.standard_normal((k, 2, s, hop)).astype(np.float32))
+            for _ in range(3)
+        ]
+        float(fnf(kstate, batches[-1]))
+        ts = []
+        for b in batches[:-1]:
+            t0 = time.perf_counter()
+            float(fnf(kstate, b))
+            ts.append(time.perf_counter() - t0)
+        mf[k] = float(np.median(ts))
+    fused_s = (mf[k_hi] - mf[k_lo]) / (k_hi - k_lo)
+    if fused_s < 20e-6:
+        fused_s = mf[k_hi] / k_hi
+    capacity = s * (hop / 16000.0) / fused_s
     return {"metric": "concurrent_realtime_streams_per_chip", "value": round(capacity, 1),
             "unit": "streams", "vs_baseline": None,
-            "step_ms": round(step_s * 1e3, 3), "batch_streams": s}
+            "step_ms": round(fused_s * 1e3, 3), "batch_streams": s,
+            "path": "fused_serving_kernel",
+            "scan_step": {"streams": round(scan_capacity, 1),
+                          "step_ms": round(step_s * 1e3, 3)}}
 
 
 def bench_training(small=False) -> dict:

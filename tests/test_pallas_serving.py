@@ -1,0 +1,51 @@
+"""Fused serving-step kernel (kernels/pallas_serving.py) == the XLA scan
+serving step (pipeline/streaming.stream_step_batched), interpret mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.dsp.erb import erb_filterbank
+from aec_tpu.kernels.pallas_serving import (
+    serving_init,
+    serving_state_from_stream,
+    serving_step_fused,
+)
+from aec_tpu.models.little_net import little_net_init
+from aec_tpu.pipeline.streaming import stream_init_batched, stream_step_batched
+
+
+def test_fused_serving_step_matches_scan(rng):
+    """12 hops of 4 concurrent echo sessions: per-block output AND every
+    state leaf track the scan step (dot_mode='high' vs Precision.HIGH —
+    the only difference is the bf16_3x split vs XLA's HIGH lowering)."""
+    params = little_net_init(jax.random.PRNGKey(0))
+    erb = jnp.asarray(erb_filterbank())
+    s, hop, steps = 4, 256, 12
+    sstate = stream_init_batched(s)
+    kstate = serving_init(s, tile=4)
+    rir = (
+        np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)
+    ).astype(np.float32) * 0.3
+    far = rng.standard_normal((s, steps * hop)).astype(np.float32)
+    mic = np.stack(
+        [np.convolve(f, rir)[: steps * hop] for f in far]
+    ).astype(np.float32)
+
+    for t in range(steps):
+        fb = jnp.asarray(far[:, t * hop : (t + 1) * hop])
+        mb = jnp.asarray(mic[:, t * hop : (t + 1) * hop])
+        sstate, out_s = stream_step_batched(params, sstate, fb, mb, erb)
+        kstate, out_k = serving_step_fused(
+            params, kstate, fb, mb, erb, interpret=True, dot_mode="high"
+        )
+        scale = max(float(jnp.abs(out_s).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_s), atol=2e-4 * scale
+        )
+
+    conv = serving_state_from_stream(sstate, tile=4)
+    for key in conv:
+        a, b = np.asarray(conv[key]), np.asarray(kstate[key])
+        scale = max(float(np.abs(a).max()), 1e-9)
+        np.testing.assert_allclose(b, a, atol=3e-4 * scale, err_msg=key)
