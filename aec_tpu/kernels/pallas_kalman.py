@@ -523,7 +523,8 @@ def kalman_filter_fused_batched_bl(
         #   high : 64/u2 25.3 | 128/u2 20.5 | 128/u1 20.3 | 256/u1 18.7
         #          | 256/u2 21.6  -> default 256/u1
         #   mixed: 128/u2 12.6 | 256/u2 11.4 | 256/u1 12.3 -> 256/u2
-        #   balanced: 256/u1 15.9 | 256/u2 17.9 -> 256/u1
+        #   balanced: 256/u1 15.9 | 256/u2 17.9 | 128/u1 15.9(same-proc
+        #   14.6 vs 15.9) | 128/u2 16.9 | 192/u1 24.7(!) -> 256/u1
         #   (NLMS mirrors: high 256/u1 17.7, mixed 256/u2 9.2)
         # "native" (Mosaic precision=HIGHEST, exact fp32): best 128/u1 =
         # 32.1 ms — slower than "high" despite one IR op per dot (HIGHEST

@@ -80,12 +80,12 @@ def main() -> None:
         results[name] = {"ms": round(per * 1e3, 2), "xrt": round(audio_s / per, 1)}
         print(name, results[name], flush=True)
 
-    def kal(mode, unroll, i, ce=1):
+    def kal(mode, unroll, i, ce=1, tile=None):
         return slope_time(
             lambda x: jnp.sum(
                 kalman_cancel_fused_batched_bl(
                     kcfg, x[0], x[1], block=scfg.hop, dot_mode=mode,
-                    unroll=unroll, constrain_every=ce,
+                    unroll=unroll, constrain_every=ce, tile=tile,
                 )["wav"]
             ),
             (2, BATCH, N),
@@ -97,6 +97,9 @@ def main() -> None:
     maybe("kalman_bl_balanced_u1", lambda: kal("balanced", 1, 2))
     maybe("kalman_bl_lean_u1", lambda: kal("lean", 1, 12))
     maybe("kalman_bl_high_u1", lambda: kal("high", 1, 3))
+    maybe("kalman_bl_balanced_t128_u1", lambda: kal("balanced", 1, 24, tile=128))
+    maybe("kalman_bl_balanced_t128_u2", lambda: kal("balanced", 2, 25, tile=128))
+    maybe("kalman_bl_balanced_t192_u1", lambda: kal("balanced", 1, 26, tile=192))
     maybe("kalman_bl_balanced_u1_ce2", lambda: kal("balanced", 1, 14, 2))
     maybe("kalman_bl_balanced_u2_ce2", lambda: kal("balanced", 2, 15, 2))
     maybe("kalman_bl_balanced_u1_ce4", lambda: kal("balanced", 1, 16, 4))
