@@ -71,17 +71,25 @@ def _make_enhancer(
             f"a framework .npz checkpoint"
         )
     lin_cfg = {"kalman": KalmanConfig(), "nlms": NlmsConfig(), "none": None}[stage1]
-    max_shift = int(align_far_ms / 1e3 * 16000) // scfg.hop * scfg.hop
+    # GCC-PHAT search window: the requested range plus guard headroom (the
+    # applied shift is guard-backed-off and block-quantized INSIDE
+    # estimate_and_align; flooring the window itself would truncate the
+    # search and can miss the true peak entirely)
+    max_shift = int(align_far_ms / 1e3 * 16000) + 512
+
+    def prealign(far, mic):
+        """Returns the (possibly aligned) far used by BOTH stages — the
+        stage-2 post-filter's far-reference features must see the same
+        alignment the canceller does."""
+        if align_far_ms <= 0:
+            return far
+        from aec_tpu.dsp.delay import estimate_and_align
+
+        return estimate_and_align(
+            far, mic, max_delay=max_shift, block=scfg.hop
+        )[0]
 
     def stage1_fn(far, mic):
-        if align_far_ms > 0:
-            # GCC-PHAT bulk-delay pre-alignment (dsp/delay.py): delays
-            # beyond the canceller's partition span are otherwise invisible
-            from aec_tpu.dsp.delay import estimate_and_align
-
-            far, _ = estimate_and_align(
-                far, mic, max_delay=max_shift, block=scfg.hop
-            )
         if stage1 == "kalman":
             return kalman_cancel(lin_cfg, far, mic, block=scfg.hop)["wav"]
         if stage1 == "nlms":
@@ -107,6 +115,7 @@ def _make_enhancer(
 
         @jax.jit
         def enhance(far, mic):
+            far = prealign(far, mic)
             lin = stage1_fn(far, mic)
             return apply_fn(params, lin, far, erb, scfg, normalize=normalize)["wav"]
 
@@ -126,6 +135,7 @@ def _make_enhancer(
 
         @jax.jit
         def enhance(far, mic):
+            far = prealign(far, mic)
             lin = stage1_fn(far, mic)
             return fullsubnet_apply(params, lin, far, cfg)["wav"]
 
@@ -138,6 +148,7 @@ def _make_enhancer(
 
         @jax.jit
         def enhance(far, mic):
+            far = prealign(far, mic)
             lin = stage1_fn(far, mic)
             return dccrn_apply(params, model_state, lin, far, cfg, train=False)[0]["wav"]
 
@@ -150,6 +161,7 @@ def _make_enhancer(
 
         @jax.jit
         def enhance(far, mic):
+            far = prealign(far, mic)
             lin = stage1_fn(far, mic)
             return att_ccrn_apply(params, model_state, lin, far, cfg, train=False)[0]["wav"]
 

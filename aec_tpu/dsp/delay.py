@@ -42,11 +42,15 @@ def gcc_phat_delay(
     peak is sharp even for colored far-ends (speech) through reverberant
     paths — the standard robustness argument for GCC-PHAT over plain
     cross-correlation. Only non-negative lags in [min_delay, max_delay)
-    are searched (the echo cannot precede the reference).
+    are searched (the echo cannot precede the reference). Signals are
+    zero-padded by ``max_delay`` before the FFT so the correlation is
+    LINEAR, not circular — without the pad, lag d correlates far's last d
+    samples against mic's START, biasing the peak on utterances short
+    relative to the search window.
     """
-    n = far.shape[-1]
-    x = jnp.fft.rfft(far.astype(jnp.float32))
-    y = jnp.fft.rfft(mic.astype(jnp.float32))
+    n = far.shape[-1] + max_delay
+    x = jnp.fft.rfft(far.astype(jnp.float32), n=n)
+    y = jnp.fft.rfft(mic.astype(jnp.float32), n=n)
     cross = y * jnp.conj(x)
     r = jnp.fft.irfft(cross / (jnp.abs(cross) + eps), n=n)  # [B, n] lags
     window = r[..., min_delay:max_delay]

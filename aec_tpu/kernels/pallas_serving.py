@@ -144,6 +144,11 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode):
 @functools.partial(
     jax.jit,
     static_argnames=("kcfg", "scfg", "interpret", "dot_mode", "vmem_limit_mb"),
+    # the state updates in place (input_output_aliases); per-dispatch
+    # callers passing state across the jit boundary must DONATE it or XLA
+    # inserts a defensive ~57 MB copy per call that would eat the whole
+    # bandwidth win (inside a lax.scan carry the donation is implicit)
+    donate_argnames=("state",),
 )
 def serving_step_fused(
     params,

@@ -48,7 +48,9 @@ def slope(fn, state, key, reps=3):
             ts.append(time.perf_counter() - t0)
         med[k] = float(np.median(ts))
     per = (med[KS[1]] - med[KS[0]]) / (KS[1] - KS[0])
-    return max(per, 1e-9)
+    if per < 20e-6:  # slope below timer noise / negative under tunnel
+        per = med[KS[1]] / KS[1]  # conservative all-inclusive fallback
+    return per
 
 
 def main() -> None:

@@ -270,24 +270,32 @@ def bench_concurrent_streams(small=False) -> dict:
         st, outs = jax.lax.scan(body, state, blocks_fm)
         return jnp.sum(outs)
 
-    fn = jax.jit(run_k)
     k_lo, k_hi = (k_steps // 4, k_steps) if not small else (2, 4)
-    medians = {}
-    for k in (k_lo, k_hi):
-        batches = [
-            jnp.asarray(rng.standard_normal((k, 2, s, hop)).astype(np.float32))
-            for _ in range(3)
-        ]
-        float(fn(state, batches[-1]))
-        ts = []
-        for b in batches[:-1]:
-            t0 = time.perf_counter()
-            float(fn(state, b))
-            ts.append(time.perf_counter() - t0)
-        medians[k] = float(np.median(ts))
-    step_s = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo)
-    if step_s < 20e-6:  # slope below timer noise: conservative fallback
-        step_s = medians[k_hi] / k_hi
+
+    def _slope_step_s(fn, st):
+        """Per-step device time by the two-point slope (distinct buffers
+        per rep, scalar readback — the CLAUDE.md relay rules)."""
+        medians = {}
+        for k in (k_lo, k_hi):
+            batches = [
+                jnp.asarray(
+                    rng.standard_normal((k, 2, s, hop)).astype(np.float32)
+                )
+                for _ in range(3)
+            ]
+            float(fn(st, batches[-1]))
+            ts = []
+            for b in batches[:-1]:
+                t0 = time.perf_counter()
+                float(fn(st, b))
+                ts.append(time.perf_counter() - t0)
+            medians[k] = float(np.median(ts))
+        per = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo)
+        if per < 20e-6:  # slope below timer noise: conservative fallback
+            per = medians[k_hi] / k_hi
+        return per
+
+    step_s = _slope_step_s(jax.jit(run_k), state)
     scan_capacity = s * (hop / 16000.0) / step_s
 
     if jax.default_backend() != "tpu":  # the kernel needs Mosaic
@@ -312,23 +320,7 @@ def bench_concurrent_streams(small=False) -> dict:
         st, outs = jax.lax.scan(body, state, blocks_fm)
         return jnp.sum(outs)
 
-    fnf = jax.jit(run_k_fused)
-    mf = {}
-    for k in (k_lo, k_hi):
-        batches = [
-            jnp.asarray(rng.standard_normal((k, 2, s, hop)).astype(np.float32))
-            for _ in range(3)
-        ]
-        float(fnf(kstate, batches[-1]))
-        ts = []
-        for b in batches[:-1]:
-            t0 = time.perf_counter()
-            float(fnf(kstate, b))
-            ts.append(time.perf_counter() - t0)
-        mf[k] = float(np.median(ts))
-    fused_s = (mf[k_hi] - mf[k_lo]) / (k_hi - k_lo)
-    if fused_s < 20e-6:
-        fused_s = mf[k_hi] / k_hi
+    fused_s = _slope_step_s(jax.jit(run_k_fused), kstate)
     capacity = s * (hop / 16000.0) / fused_s
     return {"metric": "concurrent_realtime_streams_per_chip", "value": round(capacity, 1),
             "unit": "streams", "vs_baseline": None,
