@@ -90,3 +90,32 @@ def test_qmin_escapes_cold_start_deadlock(delayed_scene):
     cfg = dataclasses.replace(KalmanConfig(), q_min=1e-3)
     ok = kalman_cancel(cfg, fs, mj, fused=False)["wav"]
     assert _tail_erle(mic[0], ok[0]) > 25.0
+
+
+def test_qmin_flows_through_fused_kernels(delayed_scene):
+    """q_min is state DYNAMICS — the fused kernels must match the scan's
+    recursion exactly when it is nonzero (interpret mode, high tier)."""
+    from aec_tpu.kernels.pallas_kalman import (
+        kalman_cancel_fused,
+        kalman_cancel_fused_batched_bl,
+    )
+
+    far, mic, _, _ = delayed_scene
+    n = 12 * 256
+    fj = jnp.asarray(far[:, :n])
+    mj = jnp.asarray(mic[:, :n])
+    cfg = dataclasses.replace(KalmanConfig(), q_min=1e-3)
+    want = kalman_cancel(
+        cfg, fj, mj, fused=False, precision=jax.lax.Precision.HIGHEST
+    )["wav"]
+    scale = float(jnp.abs(want).max())
+    got_bl = kalman_cancel_fused_batched_bl(
+        cfg, fj, mj, tile=2, interpret=True, dot_mode="high"
+    )["wav"]
+    got_1 = kalman_cancel_fused(
+        cfg, fj[0], mj[0], interpret=True, dot_mode="high"
+    )["wav"]
+    np.testing.assert_allclose(np.asarray(got_bl), np.asarray(want),
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(got_1), np.asarray(want[0]),
+                               atol=2e-4 * scale)
