@@ -193,3 +193,43 @@ def test_bench_check_skips_off_tpu(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "skipped" in out
+
+
+def test_infer_align_far_flag(tmp_path, rng):
+    """--align-far-ms runs end-to-end (both a small and a wide window — the
+    small value used to crash on an empty argmax window before the search
+    range was decoupled from block quantization) and feeds the ALIGNED far
+    to both stages."""
+    import numpy as np
+
+    from aec_tpu.pipeline.audio_io import write_wav
+
+    wav_dir = str(tmp_path / "wavs")
+    os.makedirs(wav_dir)
+    n, d = 8192, 37 * 16  # 37 ms bulk delay
+    far = rng.standard_normal(n).astype(np.float32)
+    rir = (np.exp(-np.arange(128) / 32.0) * rng.standard_normal(128)).astype(
+        np.float32
+    )
+    echo = np.convolve(np.pad(far, (d, 0))[:n], 0.3 * rir)[:n].astype(np.float32)
+    near = (0.1 * rng.standard_normal(n)).astype(np.float32)
+    write_wav(os.path.join(wav_dir, "nearend_speech_fileid_000.wav"), near, 16000)
+    write_wav(os.path.join(wav_dir, "nearend_mic_fileid_000.wav"), near + echo, 16000)
+    write_wav(os.path.join(wav_dir, "farend_speech_fileid_000.wav"), far, 16000)
+    write_wav(os.path.join(wav_dir, "echo_fileid_000.wav"), echo, 16000)
+    h5_dir, lists = str(tmp_path / "h5"), str(tmp_path / "lists")
+    prepare_data.main(["test", "--wav_path", wav_dir, "--h5_path", h5_dir,
+                       "--list_path", lists])
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "checkpoints", "little_net_general.npz"
+    )
+    for ms in ("10", "120"):
+        est = str(tmp_path / f"est{ms}")
+        infer.main([
+            "--tt_list", os.path.join(lists, "tt_list.txt"),
+            "--ckpt_dir", str(tmp_path / "exp"), "--model_file", ckpt,
+            "--est_path", est, "--stage1", "kalman", "--no-normalize",
+            "--align-far-ms", ms,
+        ])
+        wav, sr = read_wav(os.path.join(est, "test", "0_near_est.wav"))
+        assert sr == 16000 and np.isfinite(wav).all()
