@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: fused GROUPED complex-LSTM scan (DCCRN bottleneck).
+
+ops/lstm.complex_lstm_scan already folds the reference's four naive-complex
+LSTM passes (dccrn.py:434-442) into ONE ``lax.scan`` whose per-step body is
+a single grouped matmul — but at batch 1 (the model-zoo single-utterance
+path) that scan is still the whole model's cost: measured 7.6 ms for
+DCCRN's 8 s enhancement vs 1.1 ms with the bottleneck bypassed, i.e. the
+XLA while-loop overhead (~6 us/step for ~1.4 us of matvec work) is 86% of
+the model. Same disease the stage-2 GRU had; same cure as
+kernels/pallas_gru.py:
+
+- the (2 groups x 2B rows, H) hidden/cell state lives in VMEM scratch
+  across the whole time grid;
+- the input projections + ALL biases are hoisted outside into one big MXU
+  matmul (LSTM has no GRU-style reset-gate bias subtlety — everything
+  commutes into x_proj);
+- the per-group recurrent weights (H, 4H) stay VMEM-resident (~33.6 MB
+  fp32 for DCCRN's H=1024 pair — needs the raised Mosaic VMEM cap);
+- each grid step streams ``unroll`` pre-projected frames in and ``unroll``
+  hidden outputs out; per frame: one (2B, H) x (H, 4H) dot per group +
+  elementwise gates. Dots are plain single-pass bf16 — exactly the
+  ``Precision.DEFAULT`` einsum the scan formulation uses, so numerics
+  match the scan like-for-like.
+
+A ``jax.custom_vjp`` recomputes the backward through the scan formulation,
+so DCCRN training code can call it transparently.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(unroll: int, g2b: int, hidden: int):
+    half = g2b // 2  # rows per group (= 2B)
+
+    def kernel(xp_ref, w0_ref, w1_ref, y_ref, h, c):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            h[:] = jnp.zeros_like(h)
+            c[:] = jnp.zeros_like(c)
+
+        for u in range(unroll):
+            hb = h[:].astype(jnp.bfloat16)
+            hh = jnp.concatenate(
+                [
+                    jnp.dot(hb[:half], w0_ref[:],
+                            preferred_element_type=jnp.float32),
+                    jnp.dot(hb[half:], w1_ref[:],
+                            preferred_element_type=jnp.float32),
+                ],
+                axis=0,
+            )
+            gates = xp_ref[0, u] + hh  # (g2b, 4H)
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g_ = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            c_new = f * c[:] + i * g_
+            h_new = o * jnp.tanh(c_new)
+            c[:] = c_new
+            h[:] = h_new
+            y_ref[0, u] = h_new
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "unroll", "vmem_limit_mb")
+)
+def _grouped_lstm_fused_fwd(
+    w_ih: jax.Array,  # (2, 4H, I) stacked real/imag input weights
+    w_hh: jax.Array,  # (2, 4H, H)
+    b_ih: jax.Array,  # (2, 4H)
+    b_hh: jax.Array,  # (2, 4H)
+    x2: jax.Array,  # (2B, T, I) — [real_inputs || imag_inputs]
+    *,
+    interpret: bool = False,
+    unroll: int = 8,
+    vmem_limit_mb: int = 100,
+) -> jax.Array:
+    """Returns ys (2, 2B, T, H) matching the grouped-scan layout."""
+    b2, t_steps, _ = x2.shape
+    hidden = w_hh.shape[-1]
+    g2b = 2 * b2
+
+    # hoisted input projection for all four paths + all biases
+    xp = jnp.einsum("bti,gji->gbtj", x2, w_ih) + (b_ih + b_hh)[:, None, None, :]
+    xp = xp.reshape(g2b, t_steps, 4 * hidden)  # group-major rows
+
+    unroll = max(1, min(unroll, t_steps))
+    t_pad = (-t_steps) % unroll
+    t_total = t_steps + t_pad
+    if t_pad:
+        xp = jnp.pad(xp, [(0, 0), (0, t_pad), (0, 0)])
+    xp = jnp.swapaxes(xp, 0, 1).astype(jnp.float32)
+    xp = xp.reshape(t_total // unroll, unroll, g2b, 4 * hidden)
+
+    step_spec = pl.BlockSpec(
+        (1, unroll, g2b, 4 * hidden), lambda t: (t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ys = pl.pallas_call(
+        _kernel(unroll, g2b, hidden),
+        grid=(t_total // unroll,),
+        in_specs=[
+            step_spec,
+            whole((hidden, 4 * hidden)),
+            whole((hidden, 4 * hidden)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, unroll, g2b, hidden), lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (t_total // unroll, unroll, g2b, hidden), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g2b, hidden), jnp.float32),  # h
+            pltpu.VMEM((g2b, hidden), jnp.float32),  # c
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+        ),
+    )(
+        xp,
+        # bf16 weights: the in-kernel dots single-pass-cast to bf16 anyway
+        # (Precision.DEFAULT parity with the scan), and halving the operand
+        # bytes halves whatever per-grid-step refetch Mosaic schedules for
+        # the large constant blocks
+        w_hh[0].T.astype(jnp.bfloat16),
+        w_hh[1].T.astype(jnp.bfloat16),
+    )
+    ys = ys.reshape(t_total, g2b, hidden)[:t_steps]  # (T, 2*2B, H)
+    ys = jnp.moveaxis(ys.reshape(t_steps, 2, b2, hidden), 0, 2)  # (2,2B,T,H)
+    return ys
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def complex_lstm_scan_fused(params, real_imag, interpret=False):
+    """Fused grouped complex-LSTM: ((r [B,T,I/2], i)) -> (r_out, i_out).
+
+    Drop-in for ops/lstm.complex_lstm_scan's cross-combination; the
+    backward recomputes through the scan formulation (XLA's VJP).
+    """
+    return _fused_apply(params, real_imag, interpret)
+
+
+def _fused_apply(params, real_imag, interpret):
+    real, imag = real_imag
+    b = real.shape[0]
+    w_ih = jnp.stack([params["real"]["w_ih"], params["imag"]["w_ih"]])
+    w_hh = jnp.stack([params["real"]["w_hh"], params["imag"]["w_hh"]])
+    b_ih = jnp.stack([params["real"]["b_ih"], params["imag"]["b_ih"]])
+    b_hh = jnp.stack([params["real"]["b_hh"], params["imag"]["b_hh"]])
+    x2 = jnp.concatenate([real, imag], axis=0)
+    ys = _grouped_lstm_fused_fwd(
+        w_ih, w_hh, b_ih, b_hh, x2, interpret=interpret
+    )
+    r2r, i2r = ys[0, :b], ys[0, b:]
+    r2i, i2i = ys[1, :b], ys[1, b:]
+    out = (r2r - i2i, i2r + r2i)
+    return jax.tree.map(lambda a: a.astype(real.dtype), out)
+
+
+def _fwd(params, real_imag, interpret):
+    return _fused_apply(params, real_imag, interpret), (params, real_imag)
+
+
+def _bwd(interpret, res, g):
+    from aec_tpu.ops import lstm as lstm_mod
+
+    params, (real, imag) = res
+    _, vjp = jax.vjp(
+        lambda p, r, i: lstm_mod.complex_lstm_scan(p, r, i, fused=False),
+        params, real, imag,
+    )
+    dp, dr, di = vjp(g)
+    return dp, (dr, di)
+
+
+complex_lstm_scan_fused.defvjp(_fwd, _bwd)

@@ -79,7 +79,8 @@ def complex_lstm_init(key, input_dim: int, hidden: int, dtype=jnp.float32):
     }
 
 
-def complex_lstm_scan(params, real: jax.Array, imag: jax.Array):
+def complex_lstm_scan(params, real: jax.Array, imag: jax.Array,
+                      fused: bool | None = None):
     """([B,T,I/2], [B,T,I/2]) -> ([B,T,H/2], [B,T,H/2]).
 
     The reference's naive form (dccrn.py:434-442) is four independent LSTM
@@ -92,8 +93,23 @@ def complex_lstm_scan(params, real: jax.Array, imag: jax.Array):
     Measured on v5e (DCCRN single-utterance enhancement, batch 1): the
     sequential scan overhead dominates, so this is a direct wall-clock cut.
     Numerics are op-identical to the four separate scans.
+
+    ``fused`` (None = auto on the TPU backend at batch 1, long sequences):
+    the WHOLE grouped recurrence as one Pallas kernel with VMEM-resident
+    h/c and recurrent weights (kernels/pallas_lstm.py) — the remaining
+    per-step XLA while-loop overhead was 86% of DCCRN's single-utterance
+    cost. Differentiable (custom_vjp recomputes through this scan).
     """
     b, t, _ = real.shape
+    if fused is None:
+        fused = b == 1 and t >= 64 and jax.default_backend() == "tpu"
+    if fused:
+        from aec_tpu.kernels.pallas_lstm import complex_lstm_scan_fused
+
+        # off-TPU an explicit fused=True runs the kernel in interpret mode
+        return complex_lstm_scan_fused(
+            params, (real, imag), jax.default_backend() != "tpu"
+        )
     hidden = params["real"]["w_hh"].shape[-1]
     w_ih = jnp.stack([params["real"]["w_ih"], params["imag"]["w_ih"]])
     w_hh = jnp.stack([params["real"]["w_hh"], params["imag"]["w_hh"]])

@@ -1,0 +1,40 @@
+"""Fused grouped complex-LSTM kernel (kernels/pallas_lstm.py) vs the
+grouped scan (ops/lstm.complex_lstm_scan), interpret mode + gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.ops.lstm import complex_lstm_init, complex_lstm_scan
+
+
+def test_fused_complex_lstm_matches_scan_and_grads(rng):
+    """Forward within bf16 weight rounding (the kernel ships w_hh as bf16 —
+    the same single-pass-bf16 tier the scan's DEFAULT einsum uses on TPU;
+    on CPU the scan runs fp32, so the delta here IS that rounding), and
+    the custom_vjp backward recomputes through the scan exactly."""
+    params = complex_lstm_init(jax.random.PRNGKey(1), 64, 64)
+    r = jnp.asarray(rng.standard_normal((1, 96, 32)).astype(np.float32))
+    i = jnp.asarray(rng.standard_normal((1, 96, 32)).astype(np.float32))
+    ro, io = complex_lstm_scan(params, r, i, fused=False)
+    rf, if_ = complex_lstm_scan(params, r, i, fused=True)  # interpret off-TPU
+    scale = float(jnp.abs(ro).max())
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(ro),
+                               atol=5e-3 * scale)
+    np.testing.assert_allclose(np.asarray(if_), np.asarray(io),
+                               atol=5e-3 * scale)
+
+    def loss(p, fused):
+        a, b = complex_lstm_scan(p, r, i, fused=fused)
+        return jnp.sum(a * a) + jnp.sum(b * b)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    # the backward recomputes through the scan, but the cotangents enter at
+    # the FUSED forward's outputs, so grads inherit the forward's bf16
+    # weight rounding (~5e-3 rel) — same tier as the forward tolerance
+    for l0, l1 in zip(jax.tree_util.tree_leaves(g0),
+                      jax.tree_util.tree_leaves(g1)):
+        s = max(float(jnp.abs(l0).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   atol=2e-2 * s)
