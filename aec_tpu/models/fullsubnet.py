@@ -169,7 +169,11 @@ def fullsubnet_masks(
         jnp.zeros((b * f, h_sb), mic_mag.dtype),
     )
     _, masks = jax.lax.scan(
-        step, carry0, (jnp.swapaxes(xp_fb, 0, 1), jnp.swapaxes(xp_sb, 0, 1))
+        step, carry0, (jnp.swapaxes(xp_fb, 0, 1), jnp.swapaxes(xp_sb, 0, 1)),
+        # unroll amortizes the while-loop overhead that dominates this
+        # small-per-step body at batch 1 (on-chip slope A/B, 8 s utterance:
+        # u1 4.37 / u8 3.32 / u16 3.93 ms) — semantics-preserving
+        unroll=8,
     )  # [T, B*F, 2]
     masks = masks.reshape(t, b, f, 2).transpose(1, 0, 2, 3)  # [B, T, F, 2]
     return masks[..., 0], masks[..., 1]
