@@ -139,44 +139,69 @@ def fullsubnet_masks(
         return masks[..., 0], masks[..., 1]
 
     fb_p, sb_p = params["fb_lstm"], params["sb_lstm"]
-    h_fb = cfg.fb_hidden
-    h_sb = cfg.sb_hidden
-    # hoisted input projections (one MXU matmul each over all frames)
-    xp_fb = jnp.matmul(fb_in, fb_p["w_ih"].T) + fb_p["b_ih"]  # [B, T, 4Hfb]
+    # hoisted input projections (one MXU matmul each over all frames),
+    # with BOTH bias halves folded in (lstm bias placement commutes)
+    xp_fb = (
+        jnp.matmul(fb_in, fb_p["w_ih"].T) + fb_p["b_ih"] + fb_p["b_hh"]
+    )  # [B, T, 4Hfb]
     xp_sb = (
-        jnp.matmul(sb_nb, sb_p["w_ih"][:, :nb].T) + sb_p["b_ih"]
+        jnp.matmul(sb_nb, sb_p["w_ih"][:, :nb].T)
+        + sb_p["b_ih"] + sb_p["b_hh"]
     )  # [B, T, F, 4Hsb]
+
+    # NOT routed to kernels/pallas_fullsubnet.fsn_joint_fused: the Pallas
+    # port measured SLOWER than this unroll=8 scan on-chip (3.85 vs
+    # 3.32 ms per 8 s utterance at batch 1) — see its docstring for why
+    hs_seq = _joint_scan_hs(params, xp_fb, xp_sb)  # [B, T, F, Hsb]
+    masks = jax.nn.sigmoid(
+        hs_seq @ params["sb_out"]["w"].T + params["sb_out"]["b"]
+    )  # [B, T, F, 2]
+    return masks[..., 0], masks[..., 1]
+
+
+def _joint_scan_hs(params, xp_fb: jax.Array, xp_sb: jax.Array) -> jax.Array:
+    """The joint full->sub recurrence on hoisted projections (ALL biases
+    already folded into xp_*): ([B,T,4Hfb], [B,T,F,4Hsb]) -> sb hidden
+    sequence [B,T,F,Hsb]. Shared by the scan path and as the recompute
+    target of the fused kernel's custom_vjp (kernels/pallas_fullsubnet)."""
+    fb_p, sb_p = params["fb_lstm"], params["sb_lstm"]
+    b, t, four_hfb = xp_fb.shape
+    f = xp_sb.shape[2]
+    h_fb, h_sb = four_hfb // 4, xp_sb.shape[-1] // 4
+    nb = sb_p["w_ih"].shape[1] - 1
     w_fb_col = sb_p["w_ih"][:, nb]  # (4Hsb,) — the fb-embedding column
+
+    def cell(w_hh, h, c, gates_x):
+        gates = gates_x + jnp.matmul(h, w_hh.T)
+        i, f_, g, o = jnp.split(gates, 4, axis=-1)
+        c_next = jax.nn.sigmoid(f_) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        return jax.nn.sigmoid(o) * jnp.tanh(c_next), c_next
 
     def step(carry, xp_t):
         hf, cf, hs, cs = carry
         xp_fb_t, xp_sb_t = xp_t  # [B, 4Hfb], [B, F, 4Hsb]
-        hf, cf = lstm_cell(fb_p, hf, cf, xp_fb_t)
+        hf, cf = cell(fb_p["w_hh"], hf, cf, xp_fb_t)
         fb_emb_t = jax.nn.relu(
             hf @ params["fb_out"]["w"].T + params["fb_out"]["b"]
         )  # [B, F]
         sb_x = (xp_sb_t + fb_emb_t[..., None] * w_fb_col).reshape(b * f, 4 * h_sb)
-        hs, cs = lstm_cell(sb_p, hs, cs, sb_x)
-        m_t = jax.nn.sigmoid(
-            hs @ params["sb_out"]["w"].T + params["sb_out"]["b"]
-        )  # [B*F, 2]
-        return (hf, cf, hs, cs), m_t
+        hs, cs = cell(sb_p["w_hh"], hs, cs, sb_x)
+        return (hf, cf, hs, cs), hs
 
     carry0 = (
-        jnp.zeros((b, h_fb), mic_mag.dtype),
-        jnp.zeros((b, h_fb), mic_mag.dtype),
-        jnp.zeros((b * f, h_sb), mic_mag.dtype),
-        jnp.zeros((b * f, h_sb), mic_mag.dtype),
+        jnp.zeros((b, h_fb), xp_fb.dtype),
+        jnp.zeros((b, h_fb), xp_fb.dtype),
+        jnp.zeros((b * f, h_sb), xp_fb.dtype),
+        jnp.zeros((b * f, h_sb), xp_fb.dtype),
     )
-    _, masks = jax.lax.scan(
+    _, hs_seq = jax.lax.scan(
         step, carry0, (jnp.swapaxes(xp_fb, 0, 1), jnp.swapaxes(xp_sb, 0, 1)),
         # unroll amortizes the while-loop overhead that dominates this
         # small-per-step body at batch 1 (on-chip slope A/B, 8 s utterance:
         # u1 4.37 / u8 3.32 / u16 3.93 ms) — semantics-preserving
         unroll=8,
-    )  # [T, B*F, 2]
-    masks = masks.reshape(t, b, f, 2).transpose(1, 0, 2, 3)  # [B, T, F, 2]
-    return masks[..., 0], masks[..., 1]
+    )  # [T, B*F, Hsb]
+    return hs_seq.reshape(t, b, f, h_sb).transpose(1, 0, 2, 3)
 
 
 def fullsubnet_apply(

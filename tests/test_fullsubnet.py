@@ -100,3 +100,46 @@ def test_fused_single_scan_matches_two_scan_composition(rng):
         near_b, echo_b = fullsubnet_masks(params, mic, ref, cfg, fused=True)
         np.testing.assert_allclose(near_a, near_b, atol=2e-6)
         np.testing.assert_allclose(echo_a, echo_b, atol=2e-6)
+
+
+def test_fsn_joint_kernel_parity(rng):
+    """The UNROUTED Pallas port of the joint recurrence (measured slower
+    than the unroll=8 scan on-chip — kernels/pallas_fullsubnet.py header)
+    must still track the scan core so the recorded attempt doesn't rot:
+    forward and recompute-through-scan gradients within bf16 weight
+    rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import aec_tpu.models.fullsubnet as fsn
+    from aec_tpu.kernels.pallas_fullsubnet import fsn_joint_fused
+
+    cfg = fsn.FullSubNetConfig()
+    params = fsn.fullsubnet_init(jax.random.PRNGKey(1), cfg)
+    fbins = params["fb_out"]["w"].shape[0]
+    t = 24
+    xp_fb = jnp.asarray(
+        rng.standard_normal((1, t, 4 * cfg.fb_hidden)).astype(np.float32)
+    ) * 0.3
+    xp_sb = jnp.asarray(
+        rng.standard_normal((1, t, fbins, 4 * cfg.sb_hidden)).astype(np.float32)
+    ) * 0.3
+    want = fsn._joint_scan_hs(params, xp_fb, xp_sb)
+    got = fsn_joint_fused(params, xp_fb[0], xp_sb[0], True)[None]
+    scale = max(float(jnp.abs(want).max()), 1e-9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3 * scale)
+
+    def loss(p, fused):
+        h = (fsn_joint_fused(p, xp_fb[0], xp_sb[0], True)[None]
+             if fused else fsn._joint_scan_hs(p, xp_fb, xp_sb))
+        return jnp.sum(h * h)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for l0, l1 in zip(jax.tree_util.tree_leaves(g0),
+                      jax.tree_util.tree_leaves(g1)):
+        s = max(float(jnp.abs(l0).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   atol=2e-2 * s)
