@@ -348,7 +348,92 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
     return e_blk
 
 
-def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b):
+def nlms_block_step(cfg, l, tile, dots, consts, state, far_b, d_b,
+                    project=True):
+    """One batched NLMS (MDF) block update on batch-in-lanes refs.
+
+    Exact sibling of :func:`kalman_block_step` — same ``dots``/``consts``
+    contracts, same state ordering with the Kalman covariance slot holding
+    the (K, tile) smoothed far-end power instead:
+    ``state`` = (wr, wi, power, xbr, xbi, psi, fprev) scratch refs.
+    Mutates the state refs; returns the echo-cancelled block (hop, tile).
+    Equations: linear/nlms.nlms_step (incl. the round-3 robustness
+    denominator — relative regularization + error-power step control).
+
+    ``project`` as in kalman_block_step: static ``True`` = exact per-update
+    constraint; a traced bool = raw accumulate + scheduled whole-filter
+    re-projection (NLMS has no transition decay, but each projection
+    removes ALL accumulated wraparound, so leakage is bounded by the
+    inter-projection update count).
+    """
+    dot_x, dot_y, dot_e, dot_c, dot_fb = dots
+    ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
+    es, eps_rel, beta = cfg.err_smooth, cfg.eps_rel, cfg.beta
+    (fwr_hi, fwr_lo, fwi_hi, fwi_lo,
+     itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
+     fr_hi, fr_lo, fi_hi, fi_lo,
+     ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
+     fbr_hi, fbr_lo, fbi_hi, fbi_lo) = consts
+    wr, wi, power, xbr, xbi, psi, fprev = state
+    lsum = make_lsum(l, tile)
+    lbcast = make_lbcast(l)
+
+    # in-kernel far-frame analysis STFT [(t-1)B, (t+1)B)
+    frame = jnp.concatenate([fprev[:], far_b], axis=0)  # (2B, tile)
+    fprev[:] = far_b
+    xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
+    xi_t = dot_x(fwi_hi, fwi_lo, frame)
+    xr = jnp.concatenate([xr_t, xbr[:, :-tile]], axis=1)
+    xi = jnp.concatenate([xi_t, xbi[:, :-tile]], axis=1)
+    xbr[:] = xr
+    xbi[:] = xi
+
+    # smoothed total far-end power (nlms.py:66-67)
+    inst = lsum(xr * xr + xi * xi)  # (K, tile)
+    p_new = ps * power[:] + (1.0 - ps) * inst
+    power[:] = p_new
+
+    # prior output y = sum_l W X; time block via MXU
+    yr = lsum(wr[:] * xr - wi[:] * xi)  # (K, tile)
+    yi = lsum(wr[:] * xi + wi[:] * xr)
+    y_blk = dot_y(itr_hi, itr_lo, itr_last, yr) + dot_y(
+        iti_hi, iti_lo, iti_last, yi
+    )
+    e_blk = d_b - y_blk  # (block, tile)
+    er = dot_e(fr_hi, fr_lo, e_blk)  # (K, tile)
+    ei = dot_e(fi_hi, fi_lo, e_blk)
+    psi_new = es * psi[:] + (1.0 - es) * (er * er + ei * ei)
+    psi[:] = psi_new
+
+    # conj(X) E / den, robustness terms incl. the broadband mean
+    # (over bins = over sublanes here), constrained (factored)
+    inv_p = 1.0 / (
+        p_new + eps
+        + eps_rel * jnp.mean(p_new, axis=0, keepdims=True)
+        + beta * psi_new
+    )
+    er_p, ei_p = lbcast(er * inv_p), lbcast(ei * inv_p)
+    gr = xr * er_p + xi * ei_p  # (K, L*tile)
+    gi = xr * ei_p - xi * er_p
+    if project is True:  # static: exact per-update projection
+        t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
+            ihi_hi, ihi_lo, ihi_last, gi
+        )
+        wr[:] = wr[:] + mu * dot_fb(fbr_hi, fbr_lo, t_blk)
+        wi[:] = wi[:] + mu * dot_fb(fbi_hi, fbi_lo, t_blk)
+    else:  # alternating: raw accumulate, re-project W on schedule
+        wr[:] = wr[:] + mu * gr
+        wi[:] = wi[:] + mu * gi
+
+        @pl.when(project)
+        def _reproject():
+            reproject_w(dots, consts, wr, wi)
+
+    return e_blk
+
+
+def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b,
+                      offsets=None):
     """One LittleNet frame step on batch-in-lanes refs.
 
     ``dots`` = (dot2, dot2_k1); ``consts`` = the 24-tuple from
@@ -356,6 +441,11 @@ def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b):
     ``state`` = (h, tail, prev_lin, prev_far) scratch refs. Mutates the
     state; returns (out_block, mask) where out_block completes output
     block t-1 (OLA). Equations: models/little_net & pipeline/streaming.
+
+    ``offsets``: optional (off_lin, off_far) rows (1, tile) subtracted
+    from the whole analysis frame — the causal running pseudo-norm scalar
+    (pipeline/streaming normalize=True). The prev rings keep the RAW
+    blocks so the next step can subtract its own, newer scalar.
     """
     dot2, dot2_k1 = dots
     (ar_hi, ar_lo, ai_hi, ai_lo,
@@ -371,6 +461,9 @@ def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b):
     far_frame = jnp.concatenate([prev_far[:], far_b], axis=0)
     prev_lin[:] = lin_b
     prev_far[:] = far_b
+    if offsets is not None:
+        lin_frame = lin_frame - offsets[0]
+        far_frame = far_frame - offsets[1]
 
     # windowed analysis DFT (window folded into the bases)
     sr = dot2(ar_hi, ar_lo, lin_frame)  # (K, tile)

@@ -196,103 +196,38 @@ def _kernel_batched_bl(
     the constraint factored through its rank-B form, and the far-frame
     analysis computed in-kernel from a one-block VMEM ring.
     """
-    ps, mu, eps = cfg.power_smooth, cfg.mu, cfg.eps
-    es, eps_rel, beta = cfg.err_smooth, cfg.eps_rel, cfg.beta
     # per-tier (dot_x, dot_y, dot_e, dot_c, dot_fb) — K-contraction (k1)
     # transforms split the last (Nyquist) bin as an exact f32 rank-1 update
     # instead of MXU contraction padding 257 -> 384 (precision.py); pass
     # counts and the "balanced" tier rationale live in bl.stage1_dots
-    dot_x, dot_y, dot_e, dot_c, dot_fb = bl.stage1_dots(dot_mode)
+    dots = bl.stage1_dots(dot_mode)
 
-    lsum = bl.make_lsum(l, tile)
-    lbcast = bl.make_lbcast(l)
-
-    def kernel(far_ref, d_ref,
-               fwr_hi, fwr_lo, fwi_hi, fwi_lo,
-               itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
-               fr_hi, fr_lo, fi_hi, fi_lo,
-               ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
-               fbr_hi, fbr_lo, fbi_hi, fbi_lo,
-               e_ref, wr, wi, xbr, xbi, power, psi, fprev):
+    def kernel(far_ref, d_ref, *args):
+        consts = args[:24]
+        e_ref = args[24]
+        # wr, wi, power, xbr, xbi, psi, fprev (nlms_block_step ordering)
+        wr, wi, xbr, xbi, power, psi, fprev = args[25:32]
+        state = (wr, wi, power, xbr, xbi, psi, fprev)
         # 2-level time grid (outer, inner) — see pallas_kalman._kernel_batched_bl
         t = pl.program_id(1) + pl.program_id(2)
 
         @pl.when(t == 0)
         def _init():
-            wr[:] = jnp.zeros_like(wr)
-            wi[:] = jnp.zeros_like(wi)
-            xbr[:] = jnp.zeros_like(xbr)
-            xbi[:] = jnp.zeros_like(xbi)
-            power[:] = jnp.zeros_like(power)
-            psi[:] = jnp.zeros_like(psi)
-            fprev[:] = jnp.zeros_like(fprev)
+            for ref in state:
+                ref[:] = jnp.zeros_like(ref)
 
         for u in range(unroll):
-            # in-kernel far-frame analysis STFT (see kalman kernel)
-            cur = far_ref[0, 0, 0, u]  # (block, tile)
-            frame = jnp.concatenate([fprev[:], cur], axis=0)
-            fprev[:] = cur
-            xr_t = dot_x(fwr_hi, fwr_lo, frame)  # (K, tile)
-            xi_t = dot_x(fwi_hi, fwi_lo, frame)
-            xr = jnp.concatenate([xr_t, xbr[:, :-tile]], axis=1)
-            xi = jnp.concatenate([xi_t, xbi[:, :-tile]], axis=1)
-            xbr[:] = xr
-            xbi[:] = xi
-
-            # smoothed total far-end power (nlms.py:66-67)
-            inst = lsum(xr * xr + xi * xi)  # (K, tile)
-            p_new = ps * power[:] + (1.0 - ps) * inst
-            power[:] = p_new
-
-            # prior output y = sum_l W X; time block via MXU
-            yr = lsum(wr[:] * xr - wi[:] * xi)  # (K, tile)
-            yi = lsum(wr[:] * xi + wi[:] * xr)
-            y_blk = dot_y(itr_hi, itr_lo, itr_last, yr) + dot_y(
-                iti_hi, iti_lo, iti_last, yi
-            )
-            e_blk = d_ref[0, 0, 0, u] - y_blk  # (block, tile)
-            e_ref[0, 0, 0, u] = e_blk
-            er = dot_e(fr_hi, fr_lo, e_blk)  # (K, tile)
-            ei = dot_e(fi_hi, fi_lo, e_blk)
-            psi_new = es * psi[:] + (1.0 - es) * (er * er + ei * ei)
-            psi[:] = psi_new
-
-            # conj(X) E / den, robustness terms incl. the broadband mean
-            # (over bins = over sublanes here), constrained (factored)
-            inv_p = 1.0 / (
-                p_new + eps
-                + eps_rel * jnp.mean(p_new, axis=0, keepdims=True)
-                + beta * psi_new
-            )
-            er_p, ei_p = lbcast(er * inv_p), lbcast(ei * inv_p)
-            gr = xr * er_p + xi * ei_p  # (K, L*tile)
-            gi = xr * ei_p - xi * er_p
-            if constrain_every == 1:  # static: exact per-update projection
-                t_blk = dot_c(ihr_hi, ihr_lo, ihr_last, gr) + dot_c(
-                    ihi_hi, ihi_lo, ihi_last, gi
-                )
-                wr[:] = wr[:] + mu * dot_fb(fbr_hi, fbr_lo, t_blk)
-                wi[:] = wi[:] + mu * dot_fb(fbi_hi, fbi_lo, t_blk)
+            if constrain_every == 1:
+                project = True  # static: exact per-update projection
             else:
-                # alternating constraint (schedule + projection shared
-                # with the Kalman kernel via bl_common): raw accumulate,
-                # re-project the WHOLE filter on schedule. NLMS has no
-                # transition decay, but the projection removes ALL
-                # accumulated wraparound each time it runs, so leakage is
-                # bounded by constrain_every raw updates.
-                wr[:] = wr[:] + mu * gr
-                wi[:] = wi[:] + mu * gi
+                # alternating constraint (schedule + projection shared with
+                # the Kalman kernel via bl_common) — see nlms_block_step
                 step_idx = bl.step_index(t_inner, unroll, u)
-                dots = (dot_x, dot_y, dot_e, dot_c, dot_fb)
-                consts = (fwr_hi, fwr_lo, fwi_hi, fwi_lo,
-                          itr_hi, itr_lo, itr_last, iti_hi, iti_lo, iti_last,
-                          fr_hi, fr_lo, fi_hi, fi_lo,
-                          ihr_hi, ihr_lo, ihr_last, ihi_hi, ihi_lo, ihi_last,
-                          fbr_hi, fbr_lo, fbi_hi, fbi_lo)
-
-                @pl.when(step_idx % constrain_every == constrain_every - 1)
-                def _reproject():
-                    bl.reproject_w(dots, consts, wr, wi)
+                project = step_idx % constrain_every == constrain_every - 1
+            e_ref[0, 0, 0, u] = bl.nlms_block_step(
+                cfg, l, tile, dots, consts, state,
+                far_ref[0, 0, 0, u], d_ref[0, 0, 0, u], project=project,
+            )
 
     return kernel
 

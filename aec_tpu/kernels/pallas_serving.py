@@ -22,10 +22,11 @@ the bandwidth speed-of-light). This kernel attacks the remaining 39%:
   offline kernels, at the same routed dot tiers (``dot_mode="balanced"``
   default = the quality="parity" grade).
 
-Scope: stage1="kalman", normalize=False (the serving default). Normalized
-or NLMS sessions keep the XLA scan path. The flush block and the one-hop
-output lag follow pipeline/streaming semantics exactly — parity is pinned
-in tests/test_pallas_serving.py against stream_step_batched.
+Scope: stage1="kalman" (default) or "nlms", normalize=False (the serving
+default). Normalized sessions keep the XLA scan path. The flush block and
+the one-hop output lag follow pipeline/streaming semantics exactly —
+parity is pinned in tests/test_pallas_serving.py against
+stream_step_batched for both stage-1 filters.
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aec_tpu.configs import KalmanConfig
+from aec_tpu.configs import KalmanConfig, NlmsConfig
 from aec_tpu.dsp.stft import StftConfig
 from aec_tpu.kernels import bl_common as bl
 from aec_tpu.kernels import precision as prec
@@ -49,7 +50,7 @@ class ServingState(TypedDict):
 
     wr: jax.Array  # (nt, K, L*tile)
     wi: jax.Array
-    p: jax.Array
+    p: jax.Array  # Kalman covariance (nt, K, L*tile) | NLMS power (nt, K, tile)
     xbr: jax.Array
     xbi: jax.Array
     psi: jax.Array  # (nt, K, tile)
@@ -69,19 +70,31 @@ def serving_init(
     n_streams: int,
     *,
     tile: int = 128,
-    kcfg: KalmanConfig = KalmanConfig(),
+    kcfg: KalmanConfig | NlmsConfig | None = None,
     scfg: StftConfig = StftConfig(),
     e_bands: int = 32,
+    stage1: str = "kalman",
 ) -> ServingState:
+    """Zero state for ``n_streams`` sessions. ``stage1`` picks the filter:
+    "kalman" (default) or "nlms"; ``kcfg`` takes the matching config
+    (KalmanConfig / NlmsConfig, None = that filter's defaults). For NLMS
+    the ``p`` slot holds the (nt, K, tile) smoothed far-end power."""
     if n_streams % tile:
         raise ValueError(f"n_streams {n_streams} must be a multiple of tile {tile}")
+    if kcfg is None:
+        kcfg = KalmanConfig() if stage1 == "kalman" else NlmsConfig()
     nt, k, l, hop = n_streams // tile, scfg.hop + 1, kcfg.n_blocks, scfg.hop
     z = lambda r, c: jnp.zeros((nt, r, c), jnp.float32)  # noqa: E731
+    if stage1 == "kalman":
+        p = jnp.full((nt, k, l * tile), kcfg.init_p, jnp.float32)
+        psi = jnp.full((nt, k, tile), kcfg.psi_floor, jnp.float32)
+    elif stage1 == "nlms":
+        p, psi = z(k, tile), z(k, tile)
+    else:
+        raise ValueError(f"stage1 must be 'kalman' or 'nlms', got {stage1!r}")
     return ServingState(
-        wr=z(k, l * tile), wi=z(k, l * tile),
-        p=jnp.full((nt, k, l * tile), kcfg.init_p, jnp.float32),
-        xbr=z(k, l * tile), xbi=z(k, l * tile),
-        psi=jnp.full((nt, k, tile), kcfg.psi_floor, jnp.float32),
+        wr=z(k, l * tile), wi=z(k, l * tile), p=p,
+        xbr=z(k, l * tile), xbi=z(k, l * tile), psi=psi,
         fprev=z(hop, tile), h=z(e_bands, tile), tail=z(hop, tile),
         prev_lin=z(hop, tile), prev_far=z(hop, tile),
     )
@@ -105,10 +118,13 @@ class _Sq:
         self.ref[self._at(idx)] = v
 
 
-def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode):
+def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1):
     hop = scfg.hop
     high = dot_mode == "high"
     s1_dots = bl.stage1_dots(dot_mode)
+    s1_step = (
+        bl.kalman_block_step if stage1 == "kalman" else bl.nlms_block_step
+    )
     s2_dots = (
         prec.dot_high_lhs if high else prec.dot_fast_lhs,
         prec.dot_high_lhs_k1 if high else prec.dot_fast_lhs_k1,
@@ -129,7 +145,7 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode):
             o[:] = i[:]
         st = [_Sq(o) for o in st_out]
         far_b, mic_b = far_ref[0], d_ref[0]
-        e_blk = bl.kalman_block_step(
+        e_blk = s1_step(
             kcfg, l, tile, s1_dots, s1c, tuple(st[: len(_S1)]), far_b, mic_b
         )
         out_block, _mask = bl.stage2_frame_step(
@@ -143,7 +159,9 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kcfg", "scfg", "interpret", "dot_mode", "vmem_limit_mb"),
+    static_argnames=(
+        "kcfg", "scfg", "interpret", "dot_mode", "vmem_limit_mb", "stage1"
+    ),
     # the state updates in place (input_output_aliases); per-dispatch
     # callers passing state across the jit boundary must DONATE it or XLA
     # inserts a defensive ~57 MB copy per call that would eat the whole
@@ -156,19 +174,28 @@ def serving_step_fused(
     far_block: jax.Array,  # (S, hop)
     mic_block: jax.Array,  # (S, hop)
     erb: jax.Array,
-    kcfg: KalmanConfig = KalmanConfig(),
+    kcfg: KalmanConfig | NlmsConfig | None = None,
     scfg: StftConfig = StftConfig(),
     *,
     interpret: bool = False,
     dot_mode: str = "balanced",
     vmem_limit_mb: int | None = 100,
+    stage1: str = "kalman",
 ) -> tuple[ServingState, jax.Array]:
     """One 16 ms hop for S streams -> (new_state, out_block (S, hop)).
 
     Emits with the same one-hop lag as stream_step; the first emitted
     block is the trimmed left edge (discard), and the final block needs a
     zero-block flush call, exactly as in pipeline/streaming.
+
+    ``stage1``: "kalman" (default) or "nlms" — must match the filter the
+    state was built for (``serving_init(stage1=...)``). ``kcfg`` takes the
+    matching config (None = that filter's defaults). The default
+    ``dot_mode="balanced"`` is the quality="parity" tier for BOTH filters
+    (NLMS has no safe mixed tier — linear/nlms.py).
     """
+    if kcfg is None:
+        kcfg = KalmanConfig() if stage1 == "kalman" else NlmsConfig()
     nt, k, lt = state["wr"].shape
     l = kcfg.n_blocks
     tile = lt // l
@@ -196,7 +223,7 @@ def serving_step_fused(
 
     n_state = len(_KEYS)
     outs = pl.pallas_call(
-        _kernel(kcfg, scfg, e_bands, tile, l, dot_mode),
+        _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1),
         grid=(nt,),
         in_specs=[blk(hop, tile), blk(hop, tile)]
         + st_specs
@@ -227,9 +254,11 @@ def serving_step_fused(
 
 
 def serving_state_from_stream(state, *, tile: int = 128,
-                              kcfg: KalmanConfig = KalmanConfig()) -> ServingState:
+                              kcfg: KalmanConfig | NlmsConfig | None = None,
+                              stage1: str = "kalman") -> ServingState:
     """StreamState (leading stream axis) -> kernel layout, for parity tests
-    and for migrating live scan sessions onto the kernel path."""
+    and for migrating live scan sessions onto the kernel path. ``stage1``
+    must match the filter the StreamState was built for."""
     s1 = state["stage1"]
     s_total, l, two_k = s1["w"].shape
     k = two_k // 2
@@ -242,9 +271,13 @@ def serving_state_from_stream(state, *, tile: int = 128,
     def cols(a):  # (S, rows) -> (nt, rows, tile)
         return jnp.transpose(a.reshape(nt, tile, -1), (0, 2, 1))
 
+    # Kalman carries per-partition covariance (S, L, K); NLMS a per-bin
+    # smoothed power (S, K) — both land in the ``p`` slot in their
+    # respective kernel layouts
+    p = lanes(s1["p"]) if stage1 == "kalman" else cols(s1["power"])
     return ServingState(
         wr=lanes(s1["w"][..., :k]), wi=lanes(s1["w"][..., k:]),
-        p=lanes(s1["p"]),
+        p=p,
         xbr=lanes(s1["x_buf"][..., :k]), xbi=lanes(s1["x_buf"][..., k:]),
         psi=cols(s1["psi"]),
         fprev=cols(state["prev_far"]), h=cols(state["gru_h"]),

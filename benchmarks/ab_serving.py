@@ -68,31 +68,32 @@ def main() -> None:
         results[name] = {"step_ms": round(per * 1e3, 3), "streams": round(cap, 1)}
         print(name, results[name], flush=True)
 
-    def scan_step():
-        state = stream_init_batched(S)
+    def scan_step(stage1="kalman", i=0):
+        state = stream_init_batched(S, stage1=stage1)
 
         @jax.jit
         def run_k(st, fm):
             def body(st, fm1):
                 st, out = jax.vmap(
                     lambda s1, f, m: _stream_step_core(
-                        params, s1, f, m, erb, StftConfig(), "kalman", None
+                        params, s1, f, m, erb, StftConfig(), stage1, None
                     )
                 )(st, fm1[0], fm1[1])
                 return st, jnp.sum(out)
 
             return jnp.sum(jax.lax.scan(body, st, fm)[1])
 
-        return slope(run_k, state, jax.random.fold_in(key, 0))
+        return slope(run_k, state, jax.random.fold_in(key, i))
 
-    def fused(tile, mode, i):
-        state = serving_init(S, tile=tile)
+    def fused(tile, mode, i, stage1="kalman"):
+        state = serving_init(S, tile=tile, stage1=stage1)
 
         @jax.jit
         def run_k(st, fm):
             def body(st, fm1):
                 st, out = serving_step_fused(
-                    params, st, fm1[0], fm1[1], erb, dot_mode=mode
+                    params, st, fm1[0], fm1[1], erb,
+                    dot_mode=mode, stage1=stage1,
                 )
                 return st, jnp.sum(out)
 
@@ -105,6 +106,9 @@ def main() -> None:
     maybe("fused_t256_balanced", lambda: fused(256, "balanced", 2))
     maybe("fused_t128_mixed", lambda: fused(128, "mixed", 3))
     maybe("fused_t512_balanced", lambda: fused(512, "balanced", 4))
+    maybe("scan_step_nlms", lambda: scan_step("nlms", 5))
+    maybe("fused_nlms_t128_balanced", lambda: fused(128, "balanced", 6, "nlms"))
+    maybe("fused_nlms_t256_balanced", lambda: fused(256, "balanced", 7, "nlms"))
 
     print(json.dumps(results))
 

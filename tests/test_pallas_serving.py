@@ -49,3 +49,45 @@ def test_fused_serving_step_matches_scan(rng):
         a, b = np.asarray(conv[key]), np.asarray(kstate[key])
         scale = max(float(np.abs(a).max()), 1e-9)
         np.testing.assert_allclose(b, a, atol=3e-4 * scale, err_msg=key)
+
+
+def test_fused_serving_step_matches_scan_nlms(rng):
+    """Same contract for stage1='nlms': per-block output and every state
+    leaf (incl. the power-in-the-p-slot layout) track the scan step."""
+    params = little_net_init(jax.random.PRNGKey(0))
+    erb = jnp.asarray(erb_filterbank())
+    s, hop, steps = 4, 256, 12
+    sstate = stream_init_batched(s, stage1="nlms")
+    kstate = serving_init(s, tile=4, stage1="nlms")
+    rir = (
+        np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)
+    ).astype(np.float32) * 0.3
+    far = rng.standard_normal((s, steps * hop)).astype(np.float32)
+    mic = np.stack(
+        [np.convolve(f, rir)[: steps * hop] for f in far]
+    ).astype(np.float32)
+
+    for t in range(steps):
+        fb = jnp.asarray(far[:, t * hop : (t + 1) * hop])
+        mb = jnp.asarray(mic[:, t * hop : (t + 1) * hop])
+        sstate, out_s = stream_step_batched(
+            params, sstate, fb, mb, erb, stage1="nlms"
+        )
+        kstate, out_k = serving_step_fused(
+            params, kstate, fb, mb, erb,
+            interpret=True, dot_mode="high", stage1="nlms",
+        )
+        scale = max(float(jnp.abs(out_s).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_s), atol=2e-4 * scale
+        )
+
+    conv = serving_state_from_stream(sstate, tile=4, stage1="nlms")
+    for key in conv:
+        a, b = np.asarray(conv[key]), np.asarray(kstate[key])
+        scale = max(float(np.abs(a).max()), 1e-9)
+        # NLMS converges deeper than Kalman, so the stage-2 features of the
+        # near-cancelled residual are relatively more sensitive to the
+        # bf16_3x-vs-fp32 dot difference; the GRU h accumulates that drift
+        # (~1e-3 rel at step 12) while the emitted blocks stay at 2e-4
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=key)
