@@ -22,11 +22,14 @@ the bandwidth speed-of-light). This kernel attacks the remaining 39%:
   offline kernels, at the same routed dot tiers (``dot_mode="balanced"``
   default = the quality="parity" grade).
 
-Scope: stage1="kalman" (default) or "nlms", normalize=False (the serving
-default). Normalized sessions keep the XLA scan path. The flush block and
-the one-hop output lag follow pipeline/streaming semantics exactly —
-parity is pinned in tests/test_pallas_serving.py against
-stream_step_batched for both stage-1 filters.
+Scope: stage1="kalman" (default) or "nlms", normalize False (default) or
+True (the causal running pseudo-norm of pipeline/streaming — the moments
+ride an 8-row ``nm`` state leaf, 32 B/stream). The flush block and the
+one-hop output lag follow pipeline/streaming semantics exactly — parity is
+pinned in tests/test_pallas_serving.py against stream_step_batched for
+both stage-1 filters and both normalize modes; end-of-stream flush goes
+through ``serving_state_to_stream`` + ``stream_flush`` (the inverse
+migration, which also makes kernel sessions resumable on the scan path).
 """
 
 from __future__ import annotations
@@ -59,11 +62,15 @@ class ServingState(TypedDict):
     tail: jax.Array  # (nt, hop, tile)
     prev_lin: jax.Array
     prev_far: jax.Array  # stage-2 framing ring (== fprev value, own buffer)
+    # causal pseudo-norm running moments, rows = (count, sum_lin,
+    # sumsq_lin, sum_far, sumsq_far, 3 x pad); carried always (32 B/stream
+    # vs ~54 KB of filter state), consumed when normalize=True
+    nm: jax.Array  # (nt, 8, tile)
 
 
 _S1 = ("wr", "wi", "p", "xbr", "xbi", "psi", "fprev")
 _S2 = ("h", "tail", "prev_lin", "prev_far")
-_KEYS = _S1 + _S2
+_KEYS = _S1 + _S2 + ("nm",)
 
 
 def serving_init(
@@ -96,7 +103,7 @@ def serving_init(
         wr=z(k, l * tile), wi=z(k, l * tile), p=p,
         xbr=z(k, l * tile), xbi=z(k, l * tile), psi=psi,
         fprev=z(hop, tile), h=z(e_bands, tile), tail=z(hop, tile),
-        prev_lin=z(hop, tile), prev_far=z(hop, tile),
+        prev_lin=z(hop, tile), prev_far=z(hop, tile), nm=z(8, tile),
     )
 
 
@@ -118,7 +125,15 @@ class _Sq:
         self.ref[self._at(idx)] = v
 
 
-def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1):
+def _norm_row(total, sumsq, count):
+    """(1, tile) running mean/std offset — streaming._norm_scalar, rowwise
+    (torch-unbiased std, reference ERB.py:254 semantics)."""
+    mean = total / count
+    var = (sumsq - count * mean * mean) / jnp.maximum(count - 1.0, 1.0)
+    return mean / jnp.sqrt(jnp.maximum(var, 1e-12))
+
+
+def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize):
     hop = scfg.hop
     high = dot_mode == "high"
     s1_dots = bl.stage1_dots(dot_mode)
@@ -148,9 +163,29 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1):
         e_blk = s1_step(
             kcfg, l, tile, s1_dots, s1c, tuple(st[: len(_S1)]), far_b, mic_b
         )
+        offsets = None
+        if normalize:
+            # fold this block into the running moments (rows of nm), then
+            # offset the whole frame by the CURRENT scalar — exactly
+            # streaming._stream_step_core normalize=True; the prev rings
+            # keep the RAW blocks (stage2_frame_step offsets contract)
+            nm = st[_KEYS.index("nm")]
+            count = nm[0:1, :] + float(hop)
+            s_lin = nm[1:2, :] + jnp.sum(e_blk, axis=0, keepdims=True)
+            q_lin = nm[2:3, :] + jnp.sum(e_blk * e_blk, axis=0, keepdims=True)
+            s_far = nm[3:4, :] + jnp.sum(far_b, axis=0, keepdims=True)
+            q_far = nm[4:5, :] + jnp.sum(far_b * far_b, axis=0, keepdims=True)
+            nm[:] = jnp.concatenate(
+                [count, s_lin, q_lin, s_far, q_far, nm[5:8, :]], axis=0
+            )
+            offsets = (
+                _norm_row(s_lin, q_lin, count),
+                _norm_row(s_far, q_far, count),
+            )
         out_block, _mask = bl.stage2_frame_step(
             e_bands, hop, s2_dots, s2c, vecs,
-            tuple(st[len(_S1):]), e_blk, far_b,
+            tuple(st[len(_S1) : len(_S1) + len(_S2)]), e_blk, far_b,
+            offsets=offsets,
         )
         out_ref[0] = out_block
 
@@ -160,7 +195,8 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kcfg", "scfg", "interpret", "dot_mode", "vmem_limit_mb", "stage1"
+        "kcfg", "scfg", "interpret", "dot_mode", "vmem_limit_mb", "stage1",
+        "normalize",
     ),
     # the state updates in place (input_output_aliases); per-dispatch
     # callers passing state across the jit boundary must DONATE it or XLA
@@ -181,18 +217,26 @@ def serving_step_fused(
     dot_mode: str = "balanced",
     vmem_limit_mb: int | None = 100,
     stage1: str = "kalman",
+    normalize: bool = False,
 ) -> tuple[ServingState, jax.Array]:
     """One 16 ms hop for S streams -> (new_state, out_block (S, hop)).
 
     Emits with the same one-hop lag as stream_step; the first emitted
-    block is the trimmed left edge (discard), and the final block needs a
-    zero-block flush call, exactly as in pipeline/streaming.
+    block is the trimmed left edge (discard). End-of-stream flush: convert
+    via ``serving_state_to_stream`` and call ``stream_flush`` (the flush
+    frame skips stage-1 and, when normalized, must NOT fold the zero pad
+    into the running moments — a zero-block kernel step would).
 
     ``stage1``: "kalman" (default) or "nlms" — must match the filter the
     state was built for (``serving_init(stage1=...)``). ``kcfg`` takes the
     matching config (None = that filter's defaults). The default
     ``dot_mode="balanced"`` is the quality="parity" tier for BOTH filters
     (NLMS has no safe mixed tier — linear/nlms.py).
+
+    ``normalize``: the causal running pseudo-norm of pipeline/streaming
+    (for normalized-trained checkpoints) — per-stream mean/std scalars
+    re-estimated from all samples seen, subtracted from each analysis
+    frame; converges to the offline global pseudo-norm.
     """
     if kcfg is None:
         kcfg = KalmanConfig() if stage1 == "kalman" else NlmsConfig()
@@ -223,7 +267,7 @@ def serving_step_fused(
 
     n_state = len(_KEYS)
     outs = pl.pallas_call(
-        _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1),
+        _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize),
         grid=(nt,),
         in_specs=[blk(hop, tile), blk(hop, tile)]
         + st_specs
@@ -275,6 +319,11 @@ def serving_state_from_stream(state, *, tile: int = 128,
     # smoothed power (S, K) — both land in the ``p`` slot in their
     # respective kernel layouts
     p = lanes(s1["p"]) if stage1 == "kalman" else cols(s1["power"])
+    n = state["norm"]
+    nm = cols(jnp.stack(
+        [n["count"], n["sum_lin"], n["sumsq_lin"], n["sum_far"],
+         n["sumsq_far"]] + [jnp.zeros_like(n["count"])] * 3, axis=1,
+    ))
     return ServingState(
         wr=lanes(s1["w"][..., :k]), wi=lanes(s1["w"][..., k:]),
         p=p,
@@ -282,5 +331,42 @@ def serving_state_from_stream(state, *, tile: int = 128,
         psi=cols(s1["psi"]),
         fprev=cols(state["prev_far"]), h=cols(state["gru_h"]),
         tail=cols(state["syn_tail"]), prev_lin=cols(state["prev_lin"]),
-        prev_far=cols(state["prev_far"]),
+        prev_far=cols(state["prev_far"]), nm=nm,
     )
+
+
+def serving_state_to_stream(kstate: ServingState, *, stage1: str = "kalman"):
+    """Kernel layout -> StreamState (leading stream axis): the inverse of
+    ``serving_state_from_stream``, exact round trip. Use it to flush
+    (``stream_flush``) or to resume kernel sessions on the scan path."""
+    nt, k, lt = kstate["wr"].shape
+    tile = kstate["fprev"].shape[2]
+    l = lt // tile
+    s = nt * tile
+
+    def unlanes(a):  # (nt, K, L*tile) -> (S, L, K)
+        a = a.reshape(nt, k, l, tile)
+        return jnp.transpose(a, (0, 3, 2, 1)).reshape(s, l, k)
+
+    def uncols(a):  # (nt, rows, tile) -> (S, rows)
+        return jnp.transpose(a, (0, 2, 1)).reshape(s, a.shape[1])
+
+    w = jnp.concatenate([unlanes(kstate["wr"]), unlanes(kstate["wi"])], -1)
+    xb = jnp.concatenate([unlanes(kstate["xbr"]), unlanes(kstate["xbi"])], -1)
+    psi = uncols(kstate["psi"])
+    if stage1 == "kalman":
+        s1 = {"w": w, "p": unlanes(kstate["p"]), "x_buf": xb, "psi": psi}
+    else:
+        s1 = {"w": w, "x_buf": xb, "power": uncols(kstate["p"]), "psi": psi}
+    nm = uncols(kstate["nm"])
+    return {
+        "stage1": s1,
+        "prev_lin": uncols(kstate["prev_lin"]),
+        "prev_far": uncols(kstate["prev_far"]),
+        "gru_h": uncols(kstate["h"])[:, None, :],
+        "syn_tail": uncols(kstate["tail"]),
+        "norm": {
+            "count": nm[:, 0], "sum_lin": nm[:, 1], "sumsq_lin": nm[:, 2],
+            "sum_far": nm[:, 3], "sumsq_far": nm[:, 4],
+        },
+    }

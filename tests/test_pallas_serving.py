@@ -91,3 +91,66 @@ def test_fused_serving_step_matches_scan_nlms(rng):
         # bf16_3x-vs-fp32 dot difference; the GRU h accumulates that drift
         # (~1e-3 rel at step 12) while the emitted blocks stay at 2e-4
         np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=key)
+
+
+def test_fused_serving_normalized_matches_scan_and_flush(rng):
+    """normalize=True (causal running pseudo-norm): per-block output, the
+    nm moment rows, and every state leaf track the scan step; the
+    end-of-stream flush via serving_state_to_stream + stream_flush equals
+    the scan path's flush; the state round trip is exact."""
+    from aec_tpu.kernels.pallas_serving import serving_state_to_stream
+    from aec_tpu.pipeline.streaming import stream_flush
+
+    params = little_net_init(jax.random.PRNGKey(0))
+    erb = jnp.asarray(erb_filterbank())
+    s, hop, steps = 4, 256, 10
+    sstate = stream_init_batched(s)
+    kstate = serving_init(s, tile=4)
+    rir = (
+        np.exp(-np.arange(200) / 50.0) * rng.standard_normal(200)
+    ).astype(np.float32) * 0.3
+    far = rng.standard_normal((s, steps * hop)).astype(np.float32)
+    mic = np.stack(
+        [np.convolve(f, rir)[: steps * hop] for f in far]
+    ).astype(np.float32)
+
+    for t in range(steps):
+        fb = jnp.asarray(far[:, t * hop : (t + 1) * hop])
+        mb = jnp.asarray(mic[:, t * hop : (t + 1) * hop])
+        sstate, out_s = stream_step_batched(
+            params, sstate, fb, mb, erb, normalize=True
+        )
+        kstate, out_k = serving_step_fused(
+            params, kstate, fb, mb, erb,
+            interpret=True, dot_mode="high", normalize=True,
+        )
+        scale = max(float(jnp.abs(out_s).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_s), atol=2e-4 * scale
+        )
+
+    conv = serving_state_from_stream(sstate, tile=4)
+    for key in conv:
+        a, b = np.asarray(conv[key]), np.asarray(kstate[key])
+        scale = max(float(np.abs(a).max()), 1e-9)
+        np.testing.assert_allclose(b, a, atol=3e-4 * scale, err_msg=key)
+
+    # flush through the inverse migration == the scan path's flush
+    back = serving_state_to_stream(kstate)
+    # stream_flush takes a single-stream state (it vmaps a unit batch
+    # internally); flush each session separately on both sides
+    for i in range(s):
+        one_s = jax.tree.map(lambda a: a[i], sstate)
+        one_k = jax.tree.map(lambda a: a[i], back)
+        fl_s = np.asarray(stream_flush(params, one_s, erb, normalize=True))
+        fl_k = np.asarray(stream_flush(params, one_k, erb, normalize=True))
+        np.testing.assert_allclose(
+            fl_k, fl_s, atol=2e-4 * max(float(np.abs(fl_s).max()), 1e-9)
+        )
+
+    # exact round trip: from_stream(to_stream(k)) == k
+    rt = serving_state_from_stream(back, tile=4)
+    for key in rt:
+        np.testing.assert_array_equal(
+            np.asarray(rt[key]), np.asarray(kstate[key]), err_msg=key
+        )
