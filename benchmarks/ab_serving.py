@@ -85,7 +85,7 @@ def main() -> None:
 
         return slope(run_k, state, jax.random.fold_in(key, i))
 
-    def fused(tile, mode, i, stage1="kalman"):
+    def fused(tile, mode, i, stage1="kalman", normalize=False):
         state = serving_init(S, tile=tile, stage1=stage1)
 
         @jax.jit
@@ -93,7 +93,7 @@ def main() -> None:
             def body(st, fm1):
                 st, out = serving_step_fused(
                     params, st, fm1[0], fm1[1], erb,
-                    dot_mode=mode, stage1=stage1,
+                    dot_mode=mode, stage1=stage1, normalize=normalize,
                 )
                 return st, jnp.sum(out)
 
@@ -109,6 +109,10 @@ def main() -> None:
     maybe("scan_step_nlms", lambda: scan_step("nlms", 5))
     maybe("fused_nlms_t128_balanced", lambda: fused(128, "balanced", 6, "nlms"))
     maybe("fused_nlms_t256_balanced", lambda: fused(256, "balanced", 7, "nlms"))
+    maybe(
+        "fused_norm_t128_balanced",
+        lambda: fused(128, "balanced", 8, normalize=True),
+    )
 
     print(json.dumps(results))
 
