@@ -50,8 +50,22 @@ def lstm_cell(params: LstmParams, h, c, x_proj):
     return h_next, c_next
 
 
-def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None):
-    """[B, T, I] -> ([B, T, H], (h_T, c_T))."""
+def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
+              recurrent_dtype=None):
+    """[B, T, I] -> ([B, T, H], (h_T, c_T)).
+
+    ``recurrent_dtype`` (None = auto: bfloat16 on the TPU backend, else
+    f32): storage dtype the recurrent weights are STREAMED in. On TPU the
+    f32 matmul's DEFAULT precision already rounds both operands to bf16 on
+    the MXU, so casting w_hh once outside the scan is op-equivalent — but
+    it halves the per-step HBM weight traffic, which IS the cost of a big
+    LSTM at small batch: ATT-CCRN's 4096-unit bottleneck (reference
+    attention_ccrn.py:369) measures 179.7 -> 91.8 ms per 8 s utterance at
+    batch 1 on v5e (XLA streams the (4H, H) f32 block per step; at batch 8
+    XLA already hoists a bf16 convert, measured no change). Off-TPU the
+    cast would genuinely change numerics vs the f64/torch oracles, so the
+    default keeps f32 there.
+    """
     b, t, _ = x.shape
     hidden = params["w_hh"].shape[-1]
     if h0 is None:
@@ -59,11 +73,31 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None):
     if c0 is None:
         c0 = jnp.zeros((b, hidden), dtype=x.dtype)
     x_proj = jnp.matmul(x, params["w_ih"].T) + params["b_ih"]
+    if recurrent_dtype is None and jax.default_backend() == "tpu":
+        recurrent_dtype = jnp.bfloat16
 
-    def step(carry, xp_t):
-        h, c = carry
-        h, c = lstm_cell(params, h, c, xp_t)
-        return (h, c), h
+    if recurrent_dtype is not None:
+        w_hh_t = params["w_hh"].T.astype(recurrent_dtype)  # cast ONCE
+        b_hh = params["b_hh"]
+
+        def step(carry, xp_t):
+            h, c = carry
+            gates = xp_t + jnp.dot(
+                h.astype(recurrent_dtype), w_hh_t,
+                preferred_element_type=x.dtype,
+            ) + b_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c_next = f * c + i * g
+            h_next = o * jnp.tanh(c_next)
+            return (h_next, c_next), h_next
+    else:
+
+        def step(carry, xp_t):
+            h, c = carry
+            h, c = lstm_cell(params, h, c, xp_t)
+            return (h, c), h
 
     (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
@@ -118,10 +152,18 @@ def complex_lstm_scan(params, real: jax.Array, imag: jax.Array,
     x2 = jnp.concatenate([real, imag], axis=0)  # (2B, T, I)
     # input projection for all four paths hoisted into one batched matmul
     x_proj = jnp.einsum("bti,gji->gbtj", x2, w_ih) + b_ih[:, None, None, :]
+    # stream the recurrent weights bf16 on TPU (op-equivalent to the MXU's
+    # DEFAULT operand rounding, halves per-step HBM weight traffic — the
+    # lstm_scan finding; here 33.6 MB/step f32 for DCCRN's H=1024 pair)
+    if jax.default_backend() == "tpu":
+        w_hh = w_hh.astype(jnp.bfloat16)
 
     def step(carry, xp_t):  # xp_t (2, 2B, 4H)
         hh, cc = carry
-        gates = xp_t + jnp.einsum("gbh,gjh->gbj", hh, w_hh)
+        gates = xp_t + jnp.einsum(
+            "gbh,gjh->gbj", hh.astype(w_hh.dtype), w_hh,
+            preferred_element_type=real.dtype,
+        )
         gates = gates + b_hh[:, None, :]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         cc = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(g)

@@ -138,3 +138,23 @@ def test_dccrn_sisnr_loss_finite(rng):
     near = jnp.asarray((0.3 * rng.standard_normal((1, 4096))).astype(np.float32))
     loss, aux = dccrn_loss_sisnr(params, state, mic, far, near, cfg)
     assert np.isfinite(float(loss))
+
+
+def test_lstm_bf16_recurrent_stream_close_to_f32(rng):
+    """The TPU-default bf16 recurrent-weight stream (op-equivalent to the
+    MXU's DEFAULT-precision operand rounding; halves the per-step HBM
+    weight traffic — ops/lstm.lstm_scan) tracks the f32 scan within bf16
+    rounding, and gradients flow through the cast."""
+    params = lstm_init(jax.random.PRNGKey(2), 16, 8)
+    x = jnp.asarray(rng.standard_normal((3, 40, 16)).astype(np.float32))
+    f32, _ = lstm_scan(params, x)
+    b16, _ = lstm_scan(params, x, recurrent_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(b16), np.asarray(f32),
+        atol=3e-2 * float(jnp.abs(f32).max()),
+    )
+    g = jax.grad(
+        lambda p: jnp.sum(lstm_scan(p, x, recurrent_dtype=jnp.bfloat16)[0] ** 2)
+    )(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
