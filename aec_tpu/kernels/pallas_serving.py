@@ -370,3 +370,54 @@ def serving_state_to_stream(kstate: ServingState, *, stage1: str = "kalman"):
             "sum_far": nm[:, 3], "sumsq_far": nm[:, 4],
         },
     }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kcfg", "scfg", "stage1"),
+    donate_argnames=("state",),
+)
+def serving_reset_streams(
+    state: ServingState,
+    done: jax.Array,  # (S,) bool — True = reset this stream's slot
+    *,
+    kcfg: KalmanConfig | NlmsConfig | None = None,
+    scfg: StftConfig = StftConfig(),
+    stage1: str = "kalman",
+) -> ServingState:
+    """Session eviction/admission: re-initialize the marked stream slots
+    IN PLACE (donated) so a finished call's slot can take a new one
+    without re-allocating or repacking the tile-blocked state.
+
+    Every state leaf keeps streams in lanes, so the reset is a lane-masked
+    select against the matching ``serving_init`` value (init_p / psi_floor
+    for Kalman, zeros otherwise) — one fused elementwise pass over the
+    state, no gather/scatter. ``done`` follows serving_step_fused's stream
+    order ((nt, tile) row-major, the order serving_init allocates).
+    """
+    if kcfg is None:
+        kcfg = KalmanConfig() if stage1 == "kalman" else NlmsConfig()
+    nt, k, lt = state["wr"].shape
+    tile = state["fprev"].shape[2]
+    l = lt // tile
+    dm = done.reshape(nt, 1, tile)  # broadcasting mask, streams in lanes
+    dml = jnp.tile(dm, (1, 1, l))  # for (nt, rows, L*tile) leaves
+
+    def reset(a, init, wide):
+        m = dml if wide else dm
+        return jnp.where(m, jnp.asarray(init, a.dtype), a)
+
+    kal = stage1 == "kalman"
+    return ServingState(
+        wr=reset(state["wr"], 0.0, True),
+        wi=reset(state["wi"], 0.0, True),
+        p=reset(state["p"], kcfg.init_p if kal else 0.0, kal),
+        xbr=reset(state["xbr"], 0.0, True),
+        xbi=reset(state["xbi"], 0.0, True),
+        psi=reset(state["psi"], kcfg.psi_floor if kal else 0.0, False),
+        fprev=reset(state["fprev"], 0.0, False),
+        h=reset(state["h"], 0.0, False),
+        tail=reset(state["tail"], 0.0, False),
+        prev_lin=reset(state["prev_lin"], 0.0, False),
+        prev_far=reset(state["prev_far"], 0.0, False),
+        nm=reset(state["nm"], 0.0, False),
+    )

@@ -170,9 +170,16 @@ def _joint_scan_hs(params, xp_fb: jax.Array, xp_sb: jax.Array) -> jax.Array:
     h_fb, h_sb = four_hfb // 4, xp_sb.shape[-1] // 4
     nb = sb_p["w_ih"].shape[1] - 1
     w_fb_col = sb_p["w_ih"][:, nb]  # (4Hsb,) — the fb-embedding column
+    # recurrent weights stream bf16 on TPU (cast hoisted out of the scan;
+    # op-equivalent to DEFAULT MXU operand rounding — see ops/lstm.lstm_scan)
+    wdt = jnp.bfloat16 if jax.default_backend() == "tpu" else xp_fb.dtype
+    w_hh_fb = fb_p["w_hh"].T.astype(wdt)
+    w_hh_sb = sb_p["w_hh"].T.astype(wdt)
 
-    def cell(w_hh, h, c, gates_x):
-        gates = gates_x + jnp.matmul(h, w_hh.T)
+    def cell(w_hh_t, h, c, gates_x):
+        gates = gates_x + jnp.dot(
+            h.astype(w_hh_t.dtype), w_hh_t, preferred_element_type=xp_fb.dtype
+        )
         i, f_, g, o = jnp.split(gates, 4, axis=-1)
         c_next = jax.nn.sigmoid(f_) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         return jax.nn.sigmoid(o) * jnp.tanh(c_next), c_next
@@ -180,12 +187,12 @@ def _joint_scan_hs(params, xp_fb: jax.Array, xp_sb: jax.Array) -> jax.Array:
     def step(carry, xp_t):
         hf, cf, hs, cs = carry
         xp_fb_t, xp_sb_t = xp_t  # [B, 4Hfb], [B, F, 4Hsb]
-        hf, cf = cell(fb_p["w_hh"], hf, cf, xp_fb_t)
+        hf, cf = cell(w_hh_fb, hf, cf, xp_fb_t)
         fb_emb_t = jax.nn.relu(
             hf @ params["fb_out"]["w"].T + params["fb_out"]["b"]
         )  # [B, F]
         sb_x = (xp_sb_t + fb_emb_t[..., None] * w_fb_col).reshape(b * f, 4 * h_sb)
-        hs, cs = cell(sb_p["w_hh"], hs, cs, sb_x)
+        hs, cs = cell(w_hh_sb, hs, cs, sb_x)
         return (hf, cf, hs, cs), hs
 
     carry0 = (

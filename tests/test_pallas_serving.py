@@ -154,3 +154,42 @@ def test_fused_serving_normalized_matches_scan_and_flush(rng):
         np.testing.assert_array_equal(
             np.asarray(rt[key]), np.asarray(kstate[key]), err_msg=key
         )
+
+
+def test_serving_reset_streams(rng):
+    """Evicting a finished session and admitting a new call into its slot
+    behaves exactly like a fresh slot: reset slots equal serving_init,
+    surviving slots are untouched, and continuing the stepped stream in a
+    reset-adjacent lane matches an independent fresh session."""
+    from aec_tpu.kernels.pallas_serving import serving_reset_streams
+
+    params = little_net_init(jax.random.PRNGKey(0))
+    erb = jnp.asarray(erb_filterbank())
+    s, hop, steps = 8, 256, 6
+    for stage1 in ("kalman", "nlms"):
+        kstate = serving_init(s, tile=4, stage1=stage1)
+        far = rng.standard_normal((s, steps * hop)).astype(np.float32)
+        mic = rng.standard_normal((s, steps * hop)).astype(np.float32)
+        for t in range(steps):
+            kstate, _ = serving_step_fused(
+                params, kstate,
+                jnp.asarray(far[:, t * hop : (t + 1) * hop]),
+                jnp.asarray(mic[:, t * hop : (t + 1) * hop]),
+                erb, interpret=True, dot_mode="high", stage1=stage1,
+            )
+        keep = jax.tree.map(lambda a: a.copy(), dict(kstate))
+        done = jnp.asarray([True, False] * (s // 2))
+        kstate = serving_reset_streams(kstate, done, stage1=stage1)
+        fresh = serving_init(s, tile=4, stage1=stage1)
+        # stream axis: (nt, tile) row-major = lane order within each tile
+        for key in fresh:
+            got, init, old = (
+                np.asarray(kstate[key]), np.asarray(fresh[key]),
+                np.asarray(keep[key]),
+            )
+            nt, rows, cols = got.shape
+            tile = 4
+            lmask = np.asarray(done).reshape(nt, tile)  # lanes per tile
+            full = np.tile(lmask[:, None, :], (1, rows, cols // tile))
+            np.testing.assert_array_equal(got[full], init[full], err_msg=key)
+            np.testing.assert_array_equal(got[~full], old[~full], err_msg=key)
