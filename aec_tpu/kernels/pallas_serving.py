@@ -24,12 +24,15 @@ the bandwidth speed-of-light). This kernel attacks the remaining 39%:
 
 Scope: stage1="kalman" (default) or "nlms", normalize False (default) or
 True (the causal running pseudo-norm of pipeline/streaming — the moments
-ride an 8-row ``nm`` state leaf, 32 B/stream). The flush block and the
-one-hop output lag follow pipeline/streaming semantics exactly — parity is
-pinned in tests/test_pallas_serving.py against stream_step_batched for
-both stage-1 filters and both normalize modes; end-of-stream flush goes
-through ``serving_state_to_stream`` + ``stream_flush`` (the inverse
-migration, which also makes kernel sessions resumable on the scan path).
+ride an 8-row ``nm`` state leaf, 32 B/stream; rows 5-6 double as a free
+per-stream health monitor, read via ``serving_erle``). The flush block and
+the one-hop output lag follow pipeline/streaming semantics exactly —
+parity is pinned in tests/test_pallas_serving.py against
+stream_step_batched for both stage-1 filters and both normalize modes;
+end-of-stream flush goes through ``serving_state_to_stream`` +
+``stream_flush`` (the inverse migration, which also makes kernel sessions
+resumable on the scan path). Session lifecycle: ``serving_reset_streams``
+re-initializes finished slots in place for new calls.
 """
 
 from __future__ import annotations
@@ -125,6 +128,11 @@ class _Sq:
         self.ref[self._at(idx)] = v
 
 
+# per-block EMA coefficient of the serving health monitor (16 ms blocks ->
+# ~1.6 s time constant); fixed so every dispatch shares one compiled program
+MONITOR_SMOOTH = 0.99
+
+
 def _norm_row(total, sumsq, count):
     """(1, tile) running mean/std offset — streaming._norm_scalar, rowwise
     (torch-unbiased std, reference ERB.py:254 semantics)."""
@@ -164,23 +172,37 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize):
             kcfg, l, tile, s1_dots, s1c, tuple(st[: len(_S1)]), far_b, mic_b
         )
         offsets = None
+        nm = st[_KEYS.index("nm")]
+        # per-stream health monitor (rows 5-6, read via serving_erle):
+        # EMAs of mic and stage-1-residual block power — essentially free,
+        # the kernel is state-bandwidth-bound (docs/ROOFLINE.md)
+        m_mic = MONITOR_SMOOTH * nm[5:6, :] + (1.0 - MONITOR_SMOOTH) * (
+            jnp.mean(mic_b * mic_b, axis=0, keepdims=True)
+        )
+        m_res = MONITOR_SMOOTH * nm[6:7, :] + (1.0 - MONITOR_SMOOTH) * (
+            jnp.mean(e_blk * e_blk, axis=0, keepdims=True)
+        )
         if normalize:
             # fold this block into the running moments (rows of nm), then
             # offset the whole frame by the CURRENT scalar — exactly
             # streaming._stream_step_core normalize=True; the prev rings
             # keep the RAW blocks (stage2_frame_step offsets contract)
-            nm = st[_KEYS.index("nm")]
             count = nm[0:1, :] + float(hop)
             s_lin = nm[1:2, :] + jnp.sum(e_blk, axis=0, keepdims=True)
             q_lin = nm[2:3, :] + jnp.sum(e_blk * e_blk, axis=0, keepdims=True)
             s_far = nm[3:4, :] + jnp.sum(far_b, axis=0, keepdims=True)
             q_far = nm[4:5, :] + jnp.sum(far_b * far_b, axis=0, keepdims=True)
             nm[:] = jnp.concatenate(
-                [count, s_lin, q_lin, s_far, q_far, nm[5:8, :]], axis=0
+                [count, s_lin, q_lin, s_far, q_far, m_mic, m_res,
+                 nm[7:8, :]], axis=0
             )
             offsets = (
                 _norm_row(s_lin, q_lin, count),
                 _norm_row(s_far, q_far, count),
+            )
+        else:
+            nm[:] = jnp.concatenate(
+                [nm[0:5, :], m_mic, m_res, nm[7:8, :]], axis=0
             )
         out_block, _mask = bl.stage2_frame_step(
             e_bands, hop, s2_dots, s2c, vecs,
@@ -421,3 +443,21 @@ def serving_reset_streams(
         prev_far=reset(state["prev_far"], 0.0, False),
         nm=reset(state["nm"], 0.0, False),
     )
+
+
+def serving_erle(state: ServingState) -> jax.Array:
+    """Per-stream stage-1 ERLE estimate (dB), shape (S,) in the same
+    stream order as serving_step_fused's blocks.
+
+    Read from the health-monitor EMAs the kernel maintains for free in the
+    ``nm`` leaf (rows 5-6: mic / stage-1-residual block power, 0.99 EMA per
+    16 ms block ~ 1.6 s time constant). During double-talk the near-end
+    speech dominates both powers, so this reads low — it is a cheap live
+    health signal (divergence / path-change detection, admission control),
+    not a metrics-grade ERLE (use train/metrics.erle offline for that).
+    Sessions freshly reset/admitted read 0 dB until the EMA warms up.
+    """
+    nm = state["nm"]  # (nt, 8, tile)
+    mic, res = nm[:, 5, :], nm[:, 6, :]
+    eps = 1e-12
+    return (10.0 * jnp.log10((mic + eps) / (res + eps))).reshape(-1)

@@ -78,7 +78,10 @@ def main() -> None:
         t0 = time.perf_counter()
         # state is DONATED: rebind, never touch the old reference again
         state, blk = serving_step_fused(
-            params, state, fb, mb, erb, interpret=args.interpret
+            params, state, fb, mb, erb, interpret=args.interpret,
+            # CPU interpret mode cannot execute the balanced tier's bf16
+            # dots (DotThunk); "high" is the like-for-like parity grade
+            dot_mode="high" if args.interpret else "balanced",
         )
         blk = np.asarray(blk)  # host readback == block completion
         lat.append(time.perf_counter() - t0)
@@ -89,6 +92,13 @@ def main() -> None:
     erle = 10 * np.log10(
         (mic[:, half:] ** 2).mean() / max((out[:, half:] ** 2).mean(), 1e-12)
     )
+    # live per-session health: the kernel maintains mic/residual power EMAs
+    # for free; serving_erle reads them without touching the audio path
+    from aec_tpu.kernels.pallas_serving import serving_erle
+
+    live = np.asarray(serving_erle(state))
+    print(f"live monitor ERLE (dB): min {live.min():.1f} / "
+          f"median {np.median(live):.1f} / max {live.max():.1f}")
     lat_ms = np.asarray(lat[1:]) * 1e3  # drop the compile call
     print(
         f"{s} sessions x {args.blocks} blocks: tail ERLE {erle:.1f} dB | "
