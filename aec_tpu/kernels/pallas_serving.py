@@ -141,7 +141,8 @@ def _norm_row(total, sumsq, count):
     return mean / jnp.sqrt(jnp.maximum(var, 1e-12))
 
 
-def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize):
+def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize,
+            k_blocks):
     hop = scfg.hop
     high = dot_mode == "high"
     s1_dots = bl.stage1_dots(dot_mode)
@@ -167,49 +168,58 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize):
         for i, o in zip(st_in, st_out):
             o[:] = i[:]
         st = [_Sq(o) for o in st_out]
-        far_b, mic_b = far_ref[0], d_ref[0]
-        e_blk = s1_step(
-            kcfg, l, tile, s1_dots, s1c, tuple(st[: len(_S1)]), far_b, mic_b
-        )
-        offsets = None
-        nm = st[_KEYS.index("nm")]
-        # per-stream health monitor (rows 5-6, read via serving_erle):
-        # EMAs of mic and stage-1-residual block power — essentially free,
-        # the kernel is state-bandwidth-bound (docs/ROOFLINE.md)
-        m_mic = MONITOR_SMOOTH * nm[5:6, :] + (1.0 - MONITOR_SMOOTH) * (
-            jnp.mean(mic_b * mic_b, axis=0, keepdims=True)
-        )
-        m_res = MONITOR_SMOOTH * nm[6:7, :] + (1.0 - MONITOR_SMOOTH) * (
-            jnp.mean(e_blk * e_blk, axis=0, keepdims=True)
-        )
-        if normalize:
-            # fold this block into the running moments (rows of nm), then
-            # offset the whole frame by the CURRENT scalar — exactly
-            # streaming._stream_step_core normalize=True; the prev rings
-            # keep the RAW blocks (stage2_frame_step offsets contract)
-            count = nm[0:1, :] + float(hop)
-            s_lin = nm[1:2, :] + jnp.sum(e_blk, axis=0, keepdims=True)
-            q_lin = nm[2:3, :] + jnp.sum(e_blk * e_blk, axis=0, keepdims=True)
-            s_far = nm[3:4, :] + jnp.sum(far_b, axis=0, keepdims=True)
-            q_far = nm[4:5, :] + jnp.sum(far_b * far_b, axis=0, keepdims=True)
-            nm[:] = jnp.concatenate(
-                [count, s_lin, q_lin, s_far, q_far, m_mic, m_res,
-                 nm[7:8, :]], axis=0
+        # chunked dispatch (k_blocks > 1): the state round trip — the cost
+        # of this kernel — amortizes over every queued block of the chunk
+        for u in range(k_blocks):
+            far_b = far_ref[0, u * hop : (u + 1) * hop]
+            mic_b = d_ref[0, u * hop : (u + 1) * hop]
+            e_blk = s1_step(
+                kcfg, l, tile, s1_dots, s1c, tuple(st[: len(_S1)]),
+                far_b, mic_b,
             )
-            offsets = (
-                _norm_row(s_lin, q_lin, count),
-                _norm_row(s_far, q_far, count),
+            offsets = None
+            nm = st[_KEYS.index("nm")]
+            # per-stream health monitor (rows 5-6, read via serving_erle):
+            # EMAs of mic and stage-1-residual block power — essentially
+            # free, the kernel is state-bandwidth-bound (docs/ROOFLINE.md)
+            m_mic = MONITOR_SMOOTH * nm[5:6, :] + (1.0 - MONITOR_SMOOTH) * (
+                jnp.mean(mic_b * mic_b, axis=0, keepdims=True)
             )
-        else:
-            nm[:] = jnp.concatenate(
-                [nm[0:5, :], m_mic, m_res, nm[7:8, :]], axis=0
+            m_res = MONITOR_SMOOTH * nm[6:7, :] + (1.0 - MONITOR_SMOOTH) * (
+                jnp.mean(e_blk * e_blk, axis=0, keepdims=True)
             )
-        out_block, _mask = bl.stage2_frame_step(
-            e_bands, hop, s2_dots, s2c, vecs,
-            tuple(st[len(_S1) : len(_S1) + len(_S2)]), e_blk, far_b,
-            offsets=offsets,
-        )
-        out_ref[0] = out_block
+            if normalize:
+                # fold this block into the running moments (rows of nm),
+                # then offset the whole frame by the CURRENT scalar —
+                # exactly streaming._stream_step_core normalize=True; the
+                # prev rings keep RAW blocks (stage2_frame_step contract)
+                count = nm[0:1, :] + float(hop)
+                s_lin = nm[1:2, :] + jnp.sum(e_blk, axis=0, keepdims=True)
+                q_lin = nm[2:3, :] + jnp.sum(
+                    e_blk * e_blk, axis=0, keepdims=True
+                )
+                s_far = nm[3:4, :] + jnp.sum(far_b, axis=0, keepdims=True)
+                q_far = nm[4:5, :] + jnp.sum(
+                    far_b * far_b, axis=0, keepdims=True
+                )
+                nm[:] = jnp.concatenate(
+                    [count, s_lin, q_lin, s_far, q_far, m_mic, m_res,
+                     nm[7:8, :]], axis=0
+                )
+                offsets = (
+                    _norm_row(s_lin, q_lin, count),
+                    _norm_row(s_far, q_far, count),
+                )
+            else:
+                nm[:] = jnp.concatenate(
+                    [nm[0:5, :], m_mic, m_res, nm[7:8, :]], axis=0
+                )
+            out_block, _mask = bl.stage2_frame_step(
+                e_bands, hop, s2_dots, s2c, vecs,
+                tuple(st[len(_S1) : len(_S1) + len(_S2)]), e_blk, far_b,
+                offsets=offsets,
+            )
+            out_ref[0, u * hop : (u + 1) * hop] = out_block
 
     return kernel
 
@@ -229,8 +239,8 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize):
 def serving_step_fused(
     params,
     state: ServingState,
-    far_block: jax.Array,  # (S, hop)
-    mic_block: jax.Array,  # (S, hop)
+    far_block: jax.Array,  # (S, k*hop) — k >= 1 queued 16 ms blocks
+    mic_block: jax.Array,  # (S, k*hop)
     erb: jax.Array,
     kcfg: KalmanConfig | NlmsConfig | None = None,
     scfg: StftConfig = StftConfig(),
@@ -241,7 +251,14 @@ def serving_step_fused(
     stage1: str = "kalman",
     normalize: bool = False,
 ) -> tuple[ServingState, jax.Array]:
-    """One 16 ms hop for S streams -> (new_state, out_block (S, hop)).
+    """k >= 1 16 ms hops for S streams -> (new_state, out (S, k*hop)).
+
+    ``k`` is derived from the input shape (columns // hop). k=1 is the
+    realtime hot loop. k>1 is the CHUNKED dispatch — bit-identical to k
+    single-block calls, but the per-stream state round trip (this kernel's
+    entire cost at k=1, docs/ROOFLINE.md) is paid once per chunk instead
+    of once per block: use it for jitter catch-up, near-line/recorded
+    sessions, or any time multiple blocks are queued per session.
 
     Emits with the same one-hop lag as stream_step; the first emitted
     block is the trimmed left edge (discard). End-of-stream flush: convert
@@ -267,9 +284,15 @@ def serving_step_fused(
     tile = lt // l
     hop = scfg.hop
     e_bands = state["h"].shape[1]
+    kb, rem = divmod(far_block.shape[1], hop)
+    if rem or kb < 1:
+        raise ValueError(
+            f"far/mic columns ({far_block.shape[1]}) must be a positive "
+            f"multiple of hop ({hop})"
+        )
 
-    def tm(a):  # (S, hop) -> (nt, hop, tile)
-        a = a.astype(jnp.float32).reshape(nt, tile, hop)
+    def tm(a):  # (S, kb*hop) -> (nt, kb*hop, tile)
+        a = a.astype(jnp.float32).reshape(nt, tile, kb * hop)
         return jnp.transpose(a, (0, 2, 1))
 
     s1c = bl.stage1_consts(hop)
@@ -289,16 +312,18 @@ def serving_step_fused(
 
     n_state = len(_KEYS)
     outs = pl.pallas_call(
-        _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize),
+        _kernel(
+            kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize, kb
+        ),
         grid=(nt,),
-        in_specs=[blk(hop, tile), blk(hop, tile)]
+        in_specs=[blk(kb * hop, tile), blk(kb * hop, tile)]
         + st_specs
         + [whole(*c.shape) for c in s1c]
         + [whole(*c.shape) for c in s2c]
         + [whole(*v.shape) for v in vecs],
-        out_specs=st_specs + [blk(hop, tile)],
+        out_specs=st_specs + [blk(kb * hop, tile)],
         out_shape=st_shapes
-        + [jax.ShapeDtypeStruct((nt, hop, tile), jnp.float32)],
+        + [jax.ShapeDtypeStruct((nt, kb * hop, tile), jnp.float32)],
         # state inputs (after far/mic) update in place
         input_output_aliases={2 + i: i for i in range(n_state)},
         interpret=interpret,
@@ -314,8 +339,8 @@ def serving_step_fused(
         *s1c, *s2c, *vecs,
     )
     new_state = ServingState(**dict(zip(_KEYS, outs[:n_state])))
-    out = outs[n_state]  # (nt, hop, tile)
-    out = jnp.transpose(out, (0, 2, 1)).reshape(nt * tile, hop)
+    out = outs[n_state]  # (nt, kb*hop, tile)
+    out = jnp.transpose(out, (0, 2, 1)).reshape(nt * tile, kb * hop)
     return new_state, out
 
 

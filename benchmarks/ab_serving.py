@@ -31,10 +31,10 @@ HOP = 256
 KS = (8, 32)
 
 
-def slope(fn, state, key, reps=3):
+def slope(fn, state, key, reps=3, cols=HOP):
     @partial(jax.jit, static_argnums=1)
     def gen(k_, k):
-        return jax.random.normal(k_, (k, 2, S, HOP), jnp.float32)
+        return jax.random.normal(k_, (k, 2, S, cols), jnp.float32)
 
     med = {}
     for k in KS:
@@ -113,6 +113,31 @@ def main() -> None:
         "fused_norm_t128_balanced",
         lambda: fused(128, "balanced", 8, normalize=True),
     )
+
+    def fused_chunked(tile, mode, i, kb):
+        # k queued blocks per dispatch: the state round trip amortizes
+        # over the chunk (near-line / catch-up serving); per-BLOCK cost
+        state = serving_init(S, tile=tile)
+
+        @jax.jit
+        def run_k(st, fm):
+            def body(st, fm1):
+                st, out = serving_step_fused(
+                    params, st, fm1[0], fm1[1], erb, dot_mode=mode
+                )
+                return st, jnp.sum(out)
+
+            return jnp.sum(jax.lax.scan(body, st, fm)[1])
+
+        per_chunk = slope(
+            run_k, state, jax.random.fold_in(key, i), cols=kb * HOP
+        )
+        return per_chunk / kb
+
+    maybe("fused_chunk8_t128_balanced",
+          lambda: fused_chunked(128, "balanced", 9, 8))
+    maybe("fused_chunk32_t128_balanced",
+          lambda: fused_chunked(128, "balanced", 10, 32))
 
     print(json.dumps(results))
 
