@@ -345,3 +345,35 @@ def test_bl_lean_and_alternating_constraint(rng):
             assert not np.array_equal(np.asarray(ek), np.asarray(base)), k
             e_k = float(erle(micj[0, tail], ek[0, tail]))
             assert abs(e_k - e_base) < 1.0, (k, e_k, e_base)
+
+
+def test_fused_route_returns_state_none(rng, monkeypatch):
+    """Pin the backend-dependent return contract BOTH ways (ADVICE round-2):
+    the fused TPU route returns state=None (resumable streaming must keep
+    the scan via kalman_filter/kalman_step), while the scan route carries
+    the final filter state (pinned in test_auto_fuse_off_on_cpu above).
+    Exercised on CPU by forcing the fused kernels through interpret mode at
+    dot_mode="high" (the bf16-split tiers have no CPU DotThunk)."""
+    import aec_tpu.kernels.pallas_kalman as pk
+
+    single, batched = pk.kalman_cancel_fused, pk.kalman_cancel_fused_batched_bl
+    monkeypatch.setattr(
+        pk, "kalman_cancel_fused",
+        lambda cfg, f, m, **k: single(
+            cfg, f, m, **{**k, "interpret": True, "dot_mode": "high"}
+        ),
+    )
+    monkeypatch.setattr(
+        pk, "kalman_cancel_fused_batched_bl",
+        lambda cfg, f, m, **k: batched(
+            cfg, f, m, **{**k, "interpret": True, "dot_mode": "high"}
+        ),
+    )
+    cfg = KalmanConfig()
+    n = 8 * 256
+    far = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    mic = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    out = kalman_cancel(cfg, far, mic, fused=True)
+    assert out["state"] is None and out["wav"].shape == mic.shape
+    outb = kalman_cancel(cfg, far[None], mic[None], fused=True)
+    assert outb["state"] is None and outb["wav"].shape == (1, n)
