@@ -147,8 +147,18 @@ def att_ccrn_apply(
     cfg: AttCcrnConfig = AttCcrnConfig(),
     *,
     train: bool = False,
+    lstm_mesh=None,
+    lstm_axis: str = "model",
 ):
-    """mic/far wav [B, n] -> (outputs dict, new_state)."""
+    """mic/far wav [B, n] -> (outputs dict, new_state).
+
+    ``lstm_mesh``: optional ``jax.sharding.Mesh`` — routes the 4096-unit
+    bottleneck LSTM (the model's single-chip cost: its per-step recurrent
+    weight stream is HBM-bandwidth-bound, 134 MB bf16/step at batch 1)
+    through the tensor-parallel scan (parallel/tp_lstm.py), splitting the
+    weight stream ``mesh.shape[lstm_axis]`` ways with a per-step hidden
+    all-gather over ICI. Numerically op-identical to the dense scan.
+    """
     scfg = cfg.stft
     mic_spec = stft_mod.stft(mic, scfg)  # [B, T, 2K]
     far_spec = stft_mod.stft(far, scfg)
@@ -177,7 +187,13 @@ def att_ccrn_apply(
 
     x = skips[-1]  # [B, F', T, 2C]
     b, f_b, t, c = x.shape
-    seq, _ = lstm_scan(params["lstm"], jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f_b))
+    lstm_in = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f_b)
+    if lstm_mesh is not None:
+        from aec_tpu.parallel.tp_lstm import lstm_scan_tp
+
+        seq, _ = lstm_scan_tp(params["lstm"], lstm_in, lstm_mesh, lstm_axis)
+    else:
+        seq, _ = lstm_scan(params["lstm"], lstm_in)
     x = seq.reshape(b, t, c, f_b).transpose(0, 3, 1, 2)
 
     for i, layer in enumerate(params["decoder"]):

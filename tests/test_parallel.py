@@ -67,3 +67,62 @@ def test_batch_inference_sharded(cpu_devices, rng):
         params, jnp.asarray(mic[:1]), jnp.asarray(ref[:1]), erb, normalize=False
     )["wav"]
     np.testing.assert_allclose(np.asarray(wav[0]), np.asarray(single[0]), rtol=1e-4, atol=1e-3)
+
+
+def test_tp_lstm_matches_dense_scan(cpu_devices, rng):
+    """Gate-sharded tensor-parallel LSTM == ops.lstm.lstm_scan (the
+    contraction is never split, so parity is tight)."""
+    from aec_tpu.ops.lstm import lstm_init, lstm_scan
+    from aec_tpu.parallel.tp_lstm import lstm_scan_tp, shard_lstm_params
+
+    b, t, i, h = 3, 17, 12, 32
+    params = lstm_init(jax.random.PRNGKey(0), i, h)
+    x = jnp.asarray(rng.standard_normal((b, t, i)).astype(np.float32))
+    ref, (h_ref, c_ref) = lstm_scan(params, x)
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    ys, (h_t, c_t) = jax.jit(
+        lambda p, x: lstm_scan_tp(p, x, mesh, "model")
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c_t), np.asarray(c_ref), atol=2e-6)
+
+    # pre-sharded placement gives the same result
+    sp = shard_lstm_params(params, mesh, "model")
+    ys2, _ = jax.jit(lambda p, x: lstm_scan_tp(p, x, mesh, "model"))(sp, x)
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(ys), atol=1e-6)
+
+
+def test_tp_lstm_initial_state_and_mixed_mesh(cpu_devices, rng):
+    """h0/c0 round through the TP scan on a data x model (2x4) mesh."""
+    from aec_tpu.ops.lstm import lstm_init, lstm_scan
+    from aec_tpu.parallel.tp_lstm import lstm_scan_tp
+
+    b, t, i, h = 2, 9, 8, 16
+    params = lstm_init(jax.random.PRNGKey(1), i, h)
+    x = jnp.asarray(rng.standard_normal((b, t, i)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((b, h)).astype(np.float32))
+    c0 = jnp.asarray(rng.standard_normal((b, h)).astype(np.float32))
+    ref, _ = lstm_scan(params, x, h0=h0, c0=c0)
+    mesh = make_mesh(n_data=2, n_model=4)
+    ys, _ = jax.jit(lambda p, x: lstm_scan_tp(p, x, mesh, "model", h0=h0, c0=c0))(params, x)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=2e-6)
+
+
+def test_att_ccrn_tp_bottleneck_matches(cpu_devices, rng):
+    """att_ccrn_apply(lstm_mesh=...) == the dense forward."""
+    from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply, att_ccrn_init
+
+    cfg = AttCcrnConfig(channels=(1, 2, 4, 4, 8))
+    params, state = att_ccrn_init(jax.random.PRNGKey(0), cfg)
+    mic = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))
+    far = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))
+    ref, _ = att_ccrn_apply(params, state, mic, far, cfg)
+    mesh = make_mesh(n_data=1, n_model=8)
+    out, _ = jax.jit(
+        lambda p, s, m, f: att_ccrn_apply(p, s, m, f, cfg, lstm_mesh=mesh)
+    )(params, state, mic, far)
+    np.testing.assert_allclose(
+        np.asarray(out["wav"]), np.asarray(ref["wav"]), atol=1e-5
+    )
