@@ -126,3 +126,26 @@ def test_att_ccrn_tp_bottleneck_matches(cpu_devices, rng):
     np.testing.assert_allclose(
         np.asarray(out["wav"]), np.asarray(ref["wav"]), atol=1e-5
     )
+
+
+def test_tp_lstm_gradients_match_dense(cpu_devices, rng):
+    """jax.grad flows through the shard_map TP scan and matches the dense
+    scan's gradients (ATT-CCRN remains trainable with lstm_mesh set)."""
+    from aec_tpu.ops.lstm import lstm_init, lstm_scan
+    from aec_tpu.parallel.tp_lstm import lstm_scan_tp
+
+    b, t, i, h = 2, 11, 8, 16
+    params = lstm_init(jax.random.PRNGKey(2), i, h)
+    x = jnp.asarray(rng.standard_normal((b, t, i)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((b, t, h)).astype(np.float32))
+    mesh = make_mesh(n_data=1, n_model=8)
+
+    loss_dense = lambda p: jnp.mean((lstm_scan(p, x)[0] - tgt) ** 2)
+    loss_tp = lambda p: jnp.mean((lstm_scan_tp(p, x, mesh, "model")[0] - tgt) ** 2)
+    g_dense = jax.grad(loss_dense)(params)
+    g_tp = jax.jit(jax.grad(loss_tp))(params)
+    for k in g_dense:
+        np.testing.assert_allclose(
+            np.asarray(g_tp[k]), np.asarray(g_dense[k]), atol=1e-6,
+            err_msg=f"grad mismatch on {k}",
+        )
