@@ -24,6 +24,16 @@ kernels/pallas_gru.py:
 
 A ``jax.custom_vjp`` recomputes the backward through the scan formulation,
 so DCCRN training code can call it transparently.
+
+Batch sweep (late round-3, same-process 12-unit slopes at DCCRN dims
+T=512/I=2048 — benchmarks/ab_lstm_batch.py, artifact
+results/ab_lstm_batch_r3.json): the kernel beats the grouped scan at every
+batch swept — b1 2.68 vs 3.24 ms (1.21x), b4 2.29 vs 3.98 (1.73x), b8 3.82
+vs 4.90 (1.28x), b16 5.79 vs 8.51 (1.47x) — the per-step scan overhead the
+batch was expected to amortize away still dominates at b=16. Auto-route is
+b <= 16 (ops/lstm.complex_lstm_scan); NOTE the first A/B with a narrow
+2-unit slope read NEGATIVE slopes (pure tunnel noise) — sub-5 ms costs need
+the wide-slope method.
 """
 
 from __future__ import annotations

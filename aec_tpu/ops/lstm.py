@@ -128,15 +128,20 @@ def complex_lstm_scan(params, real: jax.Array, imag: jax.Array,
     sequential scan overhead dominates, so this is a direct wall-clock cut.
     Numerics are op-identical to the four separate scans.
 
-    ``fused`` (None = auto on the TPU backend at batch 1, long sequences):
-    the WHOLE grouped recurrence as one Pallas kernel with VMEM-resident
-    h/c and recurrent weights (kernels/pallas_lstm.py) — the remaining
-    per-step XLA while-loop overhead was 86% of DCCRN's single-utterance
-    cost. Differentiable (custom_vjp recomputes through this scan).
+    ``fused`` (None = auto on the TPU backend at batch <= 16, long
+    sequences): the WHOLE grouped recurrence as one Pallas kernel with
+    VMEM-resident h/c and recurrent weights (kernels/pallas_lstm.py) — the
+    remaining per-step XLA while-loop overhead was 86% of DCCRN's
+    single-utterance cost. The batch crossover was measured, not guessed
+    (benchmarks/ab_lstm_batch.py, same-process slopes at DCCRN dims): the
+    kernel wins at EVERY batch swept — b1 1.21x, b4 1.73x, b8 1.28x,
+    b16 1.47x — so the route covers the whole measured range; b > 16 stays
+    on the scan (unswept; xp VMEM blocks grow linearly with b).
+    Differentiable (custom_vjp recomputes through this scan).
     """
     b, t, _ = real.shape
     if fused is None:
-        fused = b == 1 and t >= 64 and jax.default_backend() == "tpu"
+        fused = b <= 16 and t >= 64 and jax.default_backend() == "tpu"
     if fused:
         from aec_tpu.kernels.pallas_lstm import complex_lstm_scan_fused
 

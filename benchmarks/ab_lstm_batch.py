@@ -25,7 +25,7 @@ from aec_tpu.ops.lstm import complex_lstm_init, complex_lstm_scan
 T, I = 512, 2048  # DCCRN v1 defaults: feat = 512 ch * 4 freq = 2048
 
 
-def slope_time(fn, b, key, reps=3):
+def slope_time(fn, b, key, reps=5):
     @jax.jit
     def run_k(xs):  # xs: (k, 2, B, T, I/2)
         def body(c, x):
@@ -38,8 +38,11 @@ def slope_time(fn, b, key, reps=3):
     def gen(k_, k):
         return 0.1 * jax.random.normal(k_, (k, 2, b, T, I // 2), jnp.float32)
 
+    # wide 12-unit slope: per-unit device cost here is 1-7 ms while the
+    # tunnel round trip is a NONSTATIONARY 20-50 ms (CLAUDE.md) — a narrow
+    # 2-unit slope measures noise (observed negative)
     med = {}
-    for k in (1, 3):
+    for k in (2, 14):
         bufs = [gen(jax.random.fold_in(key, 10 * k + r), k) for r in range(reps + 1)]
         jax.block_until_ready(bufs)
         float(run_k(bufs[-1]))  # warm compile
@@ -49,7 +52,7 @@ def slope_time(fn, b, key, reps=3):
             float(run_k(buf))
             ts.append(time.perf_counter() - t0)
         med[k] = float(np.median(ts))
-    return (med[3] - med[1]) / 2.0
+    return (med[14] - med[2]) / 12.0
 
 
 def main():

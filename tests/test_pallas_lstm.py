@@ -38,3 +38,17 @@ def test_fused_complex_lstm_matches_scan_and_grads(rng):
         s = max(float(jnp.abs(l0).max()), 1e-9)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                    atol=2e-2 * s)
+
+
+def test_fused_complex_lstm_batched(rng):
+    """The auto-route now covers b<=16 (measured winner at every swept
+    batch — benchmarks/results/ab_lstm_batch_r3.json); pin batched-forward
+    parity in interpret mode."""
+    params = complex_lstm_init(jax.random.PRNGKey(2), 48, 48)
+    r = jnp.asarray(rng.standard_normal((4, 80, 24)).astype(np.float32))
+    i = jnp.asarray(rng.standard_normal((4, 80, 24)).astype(np.float32))
+    ro, io = complex_lstm_scan(params, r, i, fused=False)
+    rf, if_ = complex_lstm_scan(params, r, i, fused=True)
+    scale = float(jnp.abs(ro).max())
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(ro), atol=5e-3 * scale)
+    np.testing.assert_allclose(np.asarray(if_), np.asarray(io), atol=5e-3 * scale)
