@@ -149,6 +149,7 @@ def att_ccrn_apply(
     train: bool = False,
     lstm_mesh=None,
     lstm_axis: str = "model",
+    lstm_recurrent_dtype=None,
 ):
     """mic/far wav [B, n] -> (outputs dict, new_state).
 
@@ -158,6 +159,12 @@ def att_ccrn_apply(
     through the tensor-parallel scan (parallel/tp_lstm.py), splitting the
     weight stream ``mesh.shape[lstm_axis]`` ways with a per-step hidden
     all-gather over ICI. Numerically op-identical to the dense scan.
+
+    ``lstm_recurrent_dtype``: forwarded to ``lstm_scan`` (single-chip path
+    only). ``"int8"`` streams the bottleneck's recurrent weights quantized
+    (inference-only; ~2x less HBM weight traffic than the bf16 default —
+    the batch-1 cost — at a graded quality cost, see
+    benchmarks/ab_lstm_int8.py).
     """
     scfg = cfg.stft
     mic_spec = stft_mod.stft(mic, scfg)  # [B, T, 2K]
@@ -193,7 +200,9 @@ def att_ccrn_apply(
 
         seq, _ = lstm_scan_tp(params["lstm"], lstm_in, lstm_mesh, lstm_axis)
     else:
-        seq, _ = lstm_scan(params["lstm"], lstm_in)
+        seq, _ = lstm_scan(
+            params["lstm"], lstm_in, recurrent_dtype=lstm_recurrent_dtype
+        )
     x = seq.reshape(b, t, c, f_b).transpose(0, 3, 1, 2)
 
     for i, layer in enumerate(params["decoder"]):

@@ -40,6 +40,19 @@ def lstm_init(key: jax.Array, input_dim: int, hidden: int, dtype=jnp.float32) ->
     )
 
 
+def quantize_rows_int8(w: jax.Array):
+    """Symmetric per-row int8 quantization: ``w ~= w_q * scale[:, None]``.
+
+    Rows of ``w_hh`` are per-gate-output units, so a per-row scale keeps the
+    quantization grid matched to each unit's weight range (the standard
+    per-output-channel scheme). Returns (int8 codes, f32 per-row scale).
+    """
+    amax = jnp.max(jnp.abs(w), axis=1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_q = jnp.round(w / scale[:, None]).astype(jnp.int8)
+    return w_q, scale
+
+
 def lstm_cell(params: LstmParams, h, c, x_proj):
     gates = x_proj + jnp.matmul(h, params["w_hh"].T) + params["b_hh"]
     i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -65,6 +78,17 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
     XLA already hoists a bf16 convert, measured no change). Off-TPU the
     cast would genuinely change numerics vs the f64/torch oracles, so the
     default keeps f32 there.
+
+    ``recurrent_dtype="int8"`` (opt-in, INFERENCE-ONLY) halves the weight
+    stream again: w_hh is quantized once per-row to int8
+    (``quantize_rows_int8``), h is quantized per step at the fixed scale
+    127 (|h| < 1 by construction: h = sigmoid * tanh), and the recurrence
+    runs as an s8 x s8 -> s32 MXU matmul with the per-row dequant folded
+    into one cheap (B, 4H) multiply. Unlike the bf16 cast this is NOT
+    op-equivalent — grade quality before adopting (see
+    benchmarks/ab_lstm_int8.py; ATT-CCRN wav SNR vs the f32 path is the
+    shipped grade). The ``jnp.round`` sites have zero gradient, so this
+    path must not be used under ``jax.grad``.
     """
     b, t, _ = x.shape
     hidden = params["w_hh"].shape[-1]
@@ -76,7 +100,27 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
     if recurrent_dtype is None and jax.default_backend() == "tpu":
         recurrent_dtype = jnp.bfloat16
 
-    if recurrent_dtype is not None:
+    if recurrent_dtype == "int8":
+        w_q, w_scale = quantize_rows_int8(params["w_hh"])
+        w_q_t = w_q.T  # (H, 4H) int8 — the per-step HBM stream
+        out_scale = (w_scale / 127.0).astype(x.dtype)  # (4H,)
+        b_hh = params["b_hh"]
+
+        def step(carry, xp_t):
+            h, c = carry
+            h_q = jnp.round(h * 127.0).astype(jnp.int8)  # |h| < 1 => in range
+            acc = jax.lax.dot_general(
+                h_q, w_q_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            gates = xp_t + acc.astype(x.dtype) * out_scale + b_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c_next = f * c + i * g
+            h_next = o * jnp.tanh(c_next)
+            return (h_next, c_next), h_next
+    elif recurrent_dtype is not None:
         w_hh_t = params["w_hh"].T.astype(recurrent_dtype)  # cast ONCE
         b_hh = params["b_hh"]
 

@@ -1,0 +1,154 @@
+"""int8 recurrent-weight streaming for the big LSTM: quality grade + A/B.
+
+ATT-CCRN's batch-1 cost is its 4096-unit bottleneck LSTM streaming
+4H^2 = 134 MB of bf16 recurrent weights from HBM per step (docs/ROOFLINE.md
+— the measured cost sits AT that bandwidth floor, so only fewer bytes or
+more chips can cut it). ``lstm_scan(recurrent_dtype="int8")`` halves the
+stream again: per-row symmetric int8 weights, fixed-scale int8 hidden state
+(|h| < 1), s8 x s8 -> s32 MXU matmul, per-row dequant folded into one
+(B, 4H) multiply. Unlike the bf16 cast this is NOT op-equivalent, so this
+script ships the grade next to the speedup (the stage-1 precision-tier
+methodology):
+
+1. LSTM-level numeric error vs the f32 scan at ATT-CCRN dims;
+2. end-to-end ATT-CCRN wav SNR int8-vs-default on the 8-scene battery
+   (random-init weights — a trained checkpoint would tighten this grade,
+   none exists for this family; documented caveat);
+3. same-process slope-timed batch-1 cost, default (bf16 on TPU) vs int8.
+
+Usage: python -m benchmarks.ab_lstm_int8 [--quality-only]
+Artifact: benchmarks/results/ab_lstm_int8_r3.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from aec_tpu.ops.lstm import lstm_init, lstm_scan
+
+T, H = 512, 4096  # ATT-CCRN bottleneck: feat = 2*128 ch * 16 freq = 4096
+
+
+def snr_db(ref, test):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(test, np.float64) - ref
+    return 10.0 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-300))
+
+
+def quality_grades():
+    out = {}
+    # 1) LSTM-level: int8 vs f32 scan on smooth, speech-feature-like input.
+    # Params go in as jit ARGUMENTS: closed-over 4H^2 weights would be baked
+    # into the HLO as constants, and the axon remote_compile request then
+    # exceeds the relay's body limit (HTTP 413 — observed).
+    params = lstm_init(jax.random.PRNGKey(0), H, H)
+    k = jax.random.PRNGKey(1)
+    x = 0.3 * jax.random.normal(k, (1, 128, H), jnp.float32)
+    x = jnp.cumsum(x, axis=1) * 0.2  # correlated across time like real features
+    run = jax.jit(
+        lambda p, x_, rd: lstm_scan(p, x_, recurrent_dtype=rd)[0],
+        static_argnums=2,
+    )
+    y32 = run(params, x, None) if jax.default_backend() != "tpu" else None
+    if y32 is None:  # on TPU the default is bf16; grade against true f32
+        y32 = jax.jit(lambda p, x_: lstm_scan(p, x_, recurrent_dtype=jnp.float32)[0])(params, x)
+    y8 = run(params, x, "int8")
+    rel = float(jnp.linalg.norm(y8 - y32) / jnp.linalg.norm(y32))
+    out["lstm_rel_rms_vs_f32"] = round(rel, 6)
+    out["lstm_out_snr_db"] = round(snr_db(y32, y8), 2)
+
+    # 2) end-to-end ATT-CCRN wav SNR over the scene battery
+    from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply, att_ccrn_init
+    from benchmarks.scenes import make_scenes
+
+    acfg = AttCcrnConfig()
+    aparams, astate = att_ccrn_init(jax.random.PRNGKey(2), acfg)
+    fwd = jax.jit(
+        lambda p, s, m, f, rd: att_ccrn_apply(
+            p, s, m, f, acfg, lstm_recurrent_dtype=rd
+        )[0]["wav"],
+        static_argnums=4,
+    )
+    fwd = partial(fwd, aparams, astate)
+    scenes = make_scenes(np.random.default_rng(0), n=4 * 16384)
+    snrs = {}
+    for scene, (far, mic, _near) in scenes.items():
+        m = jnp.asarray(mic, jnp.float32)[None]
+        f = jnp.asarray(far, jnp.float32)[None]
+        snrs[scene] = round(snr_db(fwd(m, f, None), fwd(m, f, "int8")), 2)
+    out["att_ccrn_wav_snr_db_by_scene"] = snrs
+    out["att_ccrn_wav_snr_db_min"] = min(snrs.values())
+    return out
+
+
+def slope_time(rd, key, reps=5):
+    # params are jit ARGUMENTS (closure constants would 413 the relay)
+    params = lstm_init(jax.random.PRNGKey(0), H, H)
+
+    @partial(jax.jit, static_argnums=2)
+    def run_k(p, xs, rd_):  # xs: (k, 1, T, H)
+        def body(c, x):
+            y, _ = lstm_scan(p, x, recurrent_dtype=rd_)
+            return c + jnp.sum(y[:, -1]), None
+
+        return jax.lax.scan(body, jnp.float32(0.0), xs)[0]
+
+    @partial(jax.jit, static_argnums=1)
+    def gen(k_, k):
+        return 0.1 * jax.random.normal(k_, (k, 1, T, H), jnp.float32)
+
+    # wide slope, distinct buffers per rep (tunnel memoizes identical inputs)
+    med = {}
+    for k in (1, 5):
+        bufs = [gen(jax.random.fold_in(key, 10 * k + r), k) for r in range(reps + 1)]
+        jax.block_until_ready(bufs)
+        float(run_k(params, bufs[-1], rd))  # warm compile
+        ts = []
+        for buf in bufs[:-1]:
+            t0 = time.perf_counter()
+            float(run_k(params, buf, rd))
+            ts.append(time.perf_counter() - t0)
+        med[k] = float(np.median(ts))
+    return (med[5] - med[1]) / 4.0
+
+
+def main():
+    if "--quality-only" in sys.argv:
+        # quality is backend-independent (the quantization arithmetic is
+        # exact integer math); grade on CPU without touching the tunnel
+        jax.config.update("jax_platforms", "cpu")
+    out = {"desc": f"lstm_scan int8 weight streaming, T={T} H={H} "
+                   "(ATT-CCRN bottleneck dims), same process",
+           "backend": jax.default_backend()}
+    if "--time-only" not in sys.argv:
+        out.update(quality_grades())
+        print(json.dumps(out), flush=True)
+    if "--quality-only" not in sys.argv:
+        for name, rd in (("default", None), ("int8", "int8")):
+            per = slope_time(rd, jax.random.PRNGKey(7))
+            out[f"utt_ms_{name}"] = round(per * 1e3, 2)
+            print(json.dumps({f"utt_ms_{name}": out[f"utt_ms_{name}"]}), flush=True)
+        out["speedup"] = round(out["utt_ms_default"] / out["utt_ms_int8"], 3)
+    print(json.dumps(out))
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "results", "ab_lstm_int8_r3.json")
+    merged = {}
+    if os.path.isfile(path):  # quality and timing legs run in separate processes
+        with open(path) as fh:
+            merged = json.load(fh)
+    merged.update(out)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

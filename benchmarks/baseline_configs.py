@@ -550,6 +550,18 @@ def bench_model_zoo(small=False) -> dict:
         "utt_ms": round(per_ab * 1e3 / ab, 2),
     }
 
+    # opt-in int8 recurrent-weight stream: the 4H^2 block drops to 67 MB,
+    # UNDER v5e's 128 MiB VMEM, so XLA keeps it resident instead of
+    # streaming it per step — measured 92.5 -> 24.5 ms at the bare-LSTM
+    # level (3.8x; benchmarks/ab_lstm_int8.py, quality graded there too)
+    xrt_ai, _, per_ai = _sequential_device_xrt(
+        lambda c, f, m: att_ccrn_apply(
+            c[0], c[1], m[None], f[None], acfg, lstm_recurrent_dtype="int8"
+        )[0]["wav"],
+        n_a, rng, counts=counts, carried=(aparams, astate),
+    )
+    out["att_ccrn_int8"] = {"xrt": round(xrt_ai, 1), "utt_ms": round(per_ai * 1e3, 2)}
+
     erb = jnp.asarray(erb_filterbank())
     gparams = two_layer_gru_init(jax.random.PRNGKey(3))
     xrt_g, _, per_g = _sequential_device_xrt(

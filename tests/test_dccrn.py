@@ -158,3 +158,44 @@ def test_lstm_bf16_recurrent_stream_close_to_f32(rng):
     )(params)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_lstm_int8_recurrent_stream_close_to_f32(rng):
+    """The opt-in int8 recurrent-weight stream (per-row symmetric weight
+    quant + fixed-scale int8 hidden state, s8xs8->s32 matmul — halves the
+    HBM weight stream vs bf16; ops/lstm.lstm_scan) tracks the f32 scan
+    within the quantization grid. Inference-only (round has zero grad)."""
+    from aec_tpu.ops.lstm import quantize_rows_int8
+
+    params = lstm_init(jax.random.PRNGKey(3), 32, 32)
+    # per-row quant round-trips within half a grid step
+    w_q, scale = quantize_rows_int8(params["w_hh"])
+    back = np.asarray(w_q, np.float64) * np.asarray(scale, np.float64)[:, None]
+    np.testing.assert_allclose(
+        back, np.asarray(params["w_hh"], np.float64),
+        atol=float(scale.max()) * 0.5 + 1e-12,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 50, 32)).astype(np.float32))
+    f32, (h32, c32) = lstm_scan(params, x, recurrent_dtype=jnp.float32)
+    i8, (h8, c8) = lstm_scan(params, x, recurrent_dtype="int8")
+    rel = float(jnp.linalg.norm(i8 - f32) / jnp.linalg.norm(f32))
+    assert rel < 0.03, rel  # measured ~5e-3 at H=32..4096 (ab_lstm_int8)
+    assert h8.shape == h32.shape and c8.shape == c32.shape
+
+
+def test_att_ccrn_int8_lstm_route(rng):
+    """att_ccrn_apply(lstm_recurrent_dtype="int8") runs and stays close to
+    the default path end-to-end (the batch-1 serving knob)."""
+    from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply, att_ccrn_init
+
+    cfg = AttCcrnConfig()
+    params, state = att_ccrn_init(jax.random.PRNGKey(4), cfg)
+    mic = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    far = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    ref, _ = att_ccrn_apply(params, state, mic, far, cfg)
+    out, _ = att_ccrn_apply(
+        params, state, mic, far, cfg, lstm_recurrent_dtype="int8"
+    )
+    ref_w, out_w = np.asarray(ref["wav"]), np.asarray(out["wav"])
+    err = np.linalg.norm(out_w - ref_w) / max(np.linalg.norm(ref_w), 1e-12)
+    assert err < 0.05, err
