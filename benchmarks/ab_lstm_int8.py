@@ -121,9 +121,10 @@ def slope_time(rd, key, reps=5):
 
 
 def main():
-    if "--quality-only" in sys.argv:
+    if "--cpu" in sys.argv:
         # quality is backend-independent (the quantization arithmetic is
-        # exact integer math); grade on CPU without touching the tunnel
+        # exact integer math) so it CAN grade on CPU — but XLA CPU has no
+        # fast s8xs8 dot (a full grade ran past 30 min); prefer the chip
         jax.config.update("jax_platforms", "cpu")
     out = {"desc": f"lstm_scan int8 weight streaming, T={T} H={H} "
                    "(ATT-CCRN bottleneck dims), same process",
