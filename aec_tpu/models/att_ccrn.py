@@ -196,6 +196,13 @@ def att_ccrn_apply(
     b, f_b, t, c = x.shape
     lstm_in = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f_b)
     if lstm_mesh is not None:
+        if lstm_recurrent_dtype is not None:
+            # the TP scan has no quantized-stream path; silently ignoring
+            # the request would hand back bf16 numerics/perf with no signal
+            raise ValueError(
+                "lstm_recurrent_dtype is not supported with lstm_mesh "
+                "(the tensor-parallel scan streams bf16); drop one of them"
+            )
         from aec_tpu.parallel.tp_lstm import lstm_scan_tp
 
         seq, _ = lstm_scan_tp(params["lstm"], lstm_in, lstm_mesh, lstm_axis)

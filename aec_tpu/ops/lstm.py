@@ -99,6 +99,26 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
     x_proj = jnp.matmul(x, params["w_ih"].T) + params["b_ih"]
     if recurrent_dtype is None and jax.default_backend() == "tpu":
         recurrent_dtype = jnp.bfloat16
+    if recurrent_dtype is not None and not isinstance(recurrent_dtype, str):
+        # dtype-object spelling: np.dtype('int8') == 'int8', so jnp.int8 /
+        # np.int8 normalize to the string route; any OTHER integer dtype
+        # must not fall into the cast branch, where .astype would silently
+        # truncate the weights to ~0
+        if jnp.issubdtype(jnp.dtype(recurrent_dtype), jnp.integer):
+            if jnp.dtype(recurrent_dtype) == jnp.dtype(jnp.int8):
+                recurrent_dtype = "int8"
+            else:
+                raise ValueError(
+                    f"integer recurrent_dtype {recurrent_dtype!r} is not "
+                    "supported; only 'int8' (quantized streaming) is"
+                )
+    elif isinstance(recurrent_dtype, str) and recurrent_dtype != "int8":
+        recurrent_dtype = jnp.dtype(recurrent_dtype)
+        if jnp.issubdtype(recurrent_dtype, jnp.integer):
+            raise ValueError(
+                f"integer recurrent_dtype {recurrent_dtype!r} is not "
+                "supported; only 'int8' (quantized streaming) is"
+            )
 
     if recurrent_dtype == "int8":
         w_q, w_scale = quantize_rows_int8(params["w_hh"])
@@ -108,7 +128,11 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
 
         def step(carry, xp_t):
             h, c = carry
-            h_q = jnp.round(h * 127.0).astype(jnp.int8)  # |h| < 1 => in range
+            # |h| < 1 by construction (h = sigmoid * tanh), but a caller may
+            # supply h0 from a differently-scaled source; out-of-range
+            # float->int8 converts are implementation-defined in XLA, so
+            # clip (one cheap VPU op) to make the invariant robust
+            h_q = jnp.round(jnp.clip(h * 127.0, -127.0, 127.0)).astype(jnp.int8)
             acc = jax.lax.dot_general(
                 h_q, w_q_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,

@@ -120,6 +120,53 @@ def slope_time(rd, key, reps=5):
     return (med[5] - med[1]) / 4.0
 
 
+def e2e_time():
+    """End-to-end att_ccrn_apply batch-1 slope A/B (default vs int8) —
+    the block the artifact is credited with (previously measured by a
+    throwaway /tmp script; now emitted by this script, --e2e leg)."""
+    from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply, att_ccrn_init
+
+    acfg = AttCcrnConfig()
+    # init on device; params threaded as jit ARGUMENTS (HTTP 413 otherwise)
+    aparams, astate = jax.jit(lambda k: att_ccrn_init(k, acfg))(jax.random.PRNGKey(2))
+    n = 8 * 16000 // 256 * 256
+
+    out = {}
+    for name, rd in (("default", None), ("int8", "int8")):
+        @partial(jax.jit, static_argnums=3)
+        def run_k(p, s, fms, rd_):  # fms: (k, 2, n)
+            def body(c, fm):
+                wav = att_ccrn_apply(
+                    p, s, fm[1][None], fm[0][None], acfg,
+                    lstm_recurrent_dtype=rd_,
+                )[0]["wav"]
+                return c + jnp.sum(wav), None
+
+            return jax.lax.scan(body, jnp.float32(0.0), fms)[0]
+
+        rng = np.random.default_rng(11)
+        med = {}
+        for k in (1, 5):
+            bufs = [
+                jnp.asarray(rng.standard_normal((k, 2, n)).astype(np.float32))
+                for _ in range(5)
+            ]
+            float(run_k(aparams, astate, bufs[-1], rd))
+            ts = []
+            for b in bufs[:-1]:
+                t0 = time.perf_counter()
+                float(run_k(aparams, astate, b, rd))
+                ts.append(time.perf_counter() - t0)
+            med[k] = float(np.median(ts))
+        per = (med[5] - med[1]) / 4.0
+        out[name] = {"xrt": round(n / 16000.0 / per, 1),
+                     "utt_ms": round(per * 1e3, 2)}
+    out["speedup"] = round(out["default"]["utt_ms"] / out["int8"]["utt_ms"], 3)
+    out["note"] = ("end-to-end att_ccrn_apply batch-1, 8 s utterance, "
+                   "counts=(1,5) slope, same process")
+    return out
+
+
 def main():
     if "--cpu" in sys.argv:
         # quality is backend-independent (the quantization arithmetic is
@@ -138,6 +185,9 @@ def main():
             out[f"utt_ms_{name}"] = round(per * 1e3, 2)
             print(json.dumps({f"utt_ms_{name}": out[f"utt_ms_{name}"]}), flush=True)
         out["speedup"] = round(out["utt_ms_default"] / out["utt_ms_int8"], 3)
+    if "--e2e" in sys.argv:
+        out["att_ccrn_e2e"] = e2e_time()
+        print(json.dumps({"att_ccrn_e2e": out["att_ccrn_e2e"]}), flush=True)
     print(json.dumps(out))
     import os
 

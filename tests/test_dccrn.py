@@ -183,6 +183,32 @@ def test_lstm_int8_recurrent_stream_close_to_f32(rng):
     assert h8.shape == h32.shape and c8.shape == c32.shape
 
 
+def test_lstm_recurrent_dtype_spellings(rng):
+    """ADVICE r3: dtype-object spellings must match the string route (the
+    old code's .astype(int8) in the cast branch silently truncated weights
+    to 0); other integer dtypes raise; out-of-range h0 is clipped, not
+    implementation-defined."""
+    import pytest
+
+    params = lstm_init(jax.random.PRNGKey(5), 8, 8)
+    x = jnp.asarray(0.3 * rng.standard_normal((2, 20, 8)).astype(np.float32))
+    y_str, _ = lstm_scan(params, x, recurrent_dtype="int8")
+    for spelling in (jnp.int8, np.int8, np.dtype("int8")):
+        y_obj, _ = lstm_scan(params, x, recurrent_dtype=spelling)
+        np.testing.assert_array_equal(np.asarray(y_obj), np.asarray(y_str))
+    for bad in (jnp.int16, jnp.int32, "int32", np.uint8):
+        with pytest.raises(ValueError):
+            lstm_scan(params, x, recurrent_dtype=bad)
+    # bf16 string spelling == dtype spelling
+    y_b1, _ = lstm_scan(params, x, recurrent_dtype="bfloat16")
+    y_b2, _ = lstm_scan(params, x, recurrent_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(y_b1), np.asarray(y_b2))
+    # |h0| > 1 (foreign-scaled state) stays finite through the int8 quant
+    h0 = jnp.full((2, 8), 3.0, jnp.float32)
+    y_oob, _ = lstm_scan(params, x, h0=h0, recurrent_dtype="int8")
+    assert np.isfinite(np.asarray(y_oob)).all()
+
+
 def test_att_ccrn_int8_lstm_route(rng):
     """att_ccrn_apply(lstm_recurrent_dtype="int8") runs and stays close to
     the default path end-to-end (the batch-1 serving knob)."""

@@ -128,6 +128,24 @@ def test_att_ccrn_tp_bottleneck_matches(cpu_devices, rng):
     )
 
 
+def test_att_ccrn_mesh_rejects_recurrent_dtype(cpu_devices, rng):
+    """ADVICE r3: lstm_recurrent_dtype was silently ignored when lstm_mesh
+    was set (caller asked for int8, got bf16 with no signal) — now raises."""
+    import pytest
+
+    from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply, att_ccrn_init
+
+    cfg = AttCcrnConfig(channels=(1, 2, 4, 4, 8))
+    params, state = att_ccrn_init(jax.random.PRNGKey(0), cfg)
+    mic = jnp.zeros((1, 4000), jnp.float32)
+    mesh = make_mesh(n_data=1, n_model=8)
+    with pytest.raises(ValueError, match="lstm_recurrent_dtype"):
+        att_ccrn_apply(
+            params, state, mic, mic, cfg,
+            lstm_mesh=mesh, lstm_recurrent_dtype="int8",
+        )
+
+
 def test_tp_lstm_gradients_match_dense(cpu_devices, rng):
     """jax.grad flows through the shard_map TP scan and matches the dense
     scan's gradients (ATT-CCRN remains trainable with lstm_mesh set)."""
