@@ -169,6 +169,7 @@ def little_net_loss(
     *,
     normalize: bool = True,
     sqrt_eps: float = 0.0,
+    asym_weight: float = 0.0,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Training objective: compressed ERB-magnitude MSE (ERB.py:318-323).
 
@@ -179,6 +180,16 @@ def little_net_loss(
     float32 (sigmoid underflow), where d sqrt/dx = inf poisons every gradient
     — a hazard the reference's torch code shares. Documented divergence, like
     the zero_grad fix (SURVEY §2.4.4).
+
+    ``asym_weight`` adds the reference's asymmetric speech-preservation
+    term (computed-but-unused / commented out at ERB.py:184-198):
+    ``loss += w * sum(relu(near_erb^0.5 - est_erb^0.5)^2) / (T*E)`` — it
+    penalizes only UNDER-estimation of the near end (est below near), i.e.
+    near-end speech the mask removed, and is indifferent to residual echo,
+    so it counterweights over-suppression in double talk. The reference's
+    commented combination is ``alpha*loss_mag + (1-alpha)*loss_asym``;
+    ours is the additive form ``loss_mag + w*loss_asym`` (w=0 is exact
+    parity with the live reference loss).
     """
     if normalize:
         mic = _pseudo_norm(mic)
@@ -189,6 +200,9 @@ def little_net_loss(
     t, e = near_erb.shape[-2], near_erb.shape[-1]
     diff = jnp.sqrt(near_erb + sqrt_eps) - jnp.sqrt(out["est_erb"] + sqrt_eps)
     loss = jnp.sum(diff * diff) / (t * e)
+    if asym_weight:
+        under = jax.nn.relu(diff)  # near above estimate: removed near-end
+        loss = loss + asym_weight * jnp.sum(under * under) / (t * e)
     return loss, {"wav": out["wav"], "est_erb": out["est_erb"]}
 
 

@@ -207,8 +207,17 @@ def bench_two_stage_multichip(small=False) -> dict:
 
     On the single-chip bench host the mesh has one device; the sharding
     path is identical to the multi-chip case (validated on an 8-device CPU
-    mesh in tests/test_parallel.py and __graft_entry__.dryrun_multichip)."""
+    mesh in tests/test_parallel.py and __graft_entry__.dryrun_multichip).
+
+    Round-4 (verdict item 4): the pipeline under the shardings is now the
+    PRODUCTION ``two_stage_cancel`` route (fused batched kernels, parity
+    tier) instead of a hand-composed HIGHEST-precision kalman+LittleNet —
+    the round-3 version measured 35,376x where the identically-shaped
+    headline did 117,270x, under-representing per-chip pod throughput 3x.
+    Timed with the headline's slope method (distinct pre-uploaded buffer
+    sets, scalar readback) so the dispatch floor is excluded the same way."""
     from aec_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+    from aec_tpu.pipeline.two_stage import two_stage_cancel
 
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
@@ -217,21 +226,45 @@ def bench_two_stage_multichip(small=False) -> dict:
     rng = np.random.default_rng(4)
     params = little_net_init(jax.random.PRNGKey(0))
     erb = jnp.asarray(erb_filterbank())
-    scfg, kcfg = StftConfig(), KalmanConfig()
 
-    def pipeline(params, far, mic, erb):
-        lin = kalman_cancel(kcfg, far, mic, block=scfg.hop)["wav"]
-        wav = little_net_apply(params, lin, far, erb, scfg, normalize=False)["wav"]
-        return jnp.sum(wav)
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    dsh, rep = data_sharding(mesh), replicated(mesh)
-    fn = jax.jit(pipeline, in_shardings=(rep, dsh, dsh, rep))
-    pairs = _wav_pairs(rng, 4, batch, n)
-    dt = _time(lambda f, m: fn(params, f, m, erb), pairs)
+    def run_k(params, fms, erb):  # fms: (k, 2, B, n), batch axis sharded
+        def body(c, fm):
+            wav = two_stage_cancel(params, fm[0], fm[1], erb)["wav"]
+            return c + jnp.sum(wav), None
+
+        return jax.lax.scan(body, jnp.float32(0.0), fms)[0]
+
+    rep = replicated(mesh)
+    ksh = NamedSharding(mesh, P(None, None, "data"))
+    fn = jax.jit(run_k, in_shardings=(rep, ksh, rep))
+    counts = (1, 4) if not small else (1, 2)
+    reps = 5 if not small else 2
+    meds = {}
+    for k in counts:
+        bufs = [
+            jax.device_put(
+                rng.standard_normal((k, 2, batch, n)).astype(np.float32), ksh
+            )
+            for _ in range(reps + 1)
+        ]
+        float(fn(params, bufs[-1], erb))  # compile + warmup per shape
+        ts = []
+        for b in bufs[:-1]:
+            t0 = time.perf_counter()
+            float(fn(params, b, erb))
+            ts.append(time.perf_counter() - t0)
+        meds[k] = float(np.median(ts))
+    k_lo, k_hi = counts
+    dt = (meds[k_hi] - meds[k_lo]) / (k_hi - k_lo)
+    if dt < 20e-6:
+        dt = meds[k_hi] / k_hi
     xrt = batch * n / SR / dt
     return {"metric": "two_stage_multichip_xrt", "value": round(xrt, 1),
             "unit": "x_realtime", "vs_baseline": round(xrt / 1000.0, 3),
-            "devices": n_dev}
+            "devices": n_dev, "batch": batch,
+            "pipeline_ms": round(dt * 1e3, 2), "quality": "parity"}
 
 
 def bench_concurrent_streams(small=False) -> dict:
@@ -270,35 +303,73 @@ def bench_concurrent_streams(small=False) -> dict:
         st, outs = jax.lax.scan(body, state, blocks_fm)
         return jnp.sum(outs)
 
-    k_lo, k_hi = (k_steps // 4, k_steps) if not small else (2, 4)
+    # Per-stream state that MUST round-trip HBM every block: 55,648 B
+    # (docs/ROOFLINE.md §serving). Below 2*S*state/BW the chip physically
+    # cannot go — a sub-floor reading is a broken measurement, not a fast
+    # chip. Round 3's 2-point/2-rep slope recorded the scan at 0.096 ms
+    # (< the 0.139 ms floor at S=1024) in BENCH_r03.json — the same
+    # narrow-slope trap the LSTM A/B documented ("sub-5 ms costs need
+    # 12-unit slopes"). Round-4 hardening (verdict item 1): >=4 slope
+    # units x >=5 reps, least-squares slope, sub-floor readings rejected
+    # and re-measured (up to 3 attempts), BOTH paths reported with the
+    # measured winner as the value of record.
+    STATE_BYTES_PER_STREAM = 55_648
+    V5E_HBM_BYTES_PER_S = 819e9
+    on_tpu = jax.default_backend() == "tpu"
+    floor_s = (2.0 * s * STATE_BYTES_PER_STREAM / V5E_HBM_BYTES_PER_S
+               if on_tpu else 0.0)
 
-    def _slope_step_s(fn, st):
-        """Per-step device time by the two-point slope (distinct buffers
-        per rep, scalar readback — the CLAUDE.md relay rules)."""
-        medians = {}
-        for k in (k_lo, k_hi):
-            batches = [
-                jnp.asarray(
-                    rng.standard_normal((k, 2, s, hop)).astype(np.float32)
-                )
-                for _ in range(3)
-            ]
-            float(fn(st, batches[-1]))
-            ts = []
-            for b in batches[:-1]:
-                t0 = time.perf_counter()
-                float(fn(st, b))
-                ts.append(time.perf_counter() - t0)
-            medians[k] = float(np.median(ts))
-        per = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo)
-        if per < 20e-6:  # slope below timer noise: conservative fallback
-            per = medians[k_hi] / k_hi
-        return per
+    ks = (4, 16, 28, 40) if not small else (2, 4)
+    reps = 5 if not small else 2
 
-    step_s = _slope_step_s(jax.jit(run_k), state)
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def _gen(key, k):  # distinct buffers generated ON DEVICE (the relay
+        # memoizes identical-input executions; host uploads of ~80 MB x 6
+        # per k point would dominate the tunnel otherwise)
+        return 0.5 * jax.random.normal(key, (k, 2, s, hop), jnp.float32)
+
+    def _slope_step_s(fn, st, seed):
+        """Per-step device time: least-squares slope over >=4 k values,
+        median of >=5 reps each (distinct buffers per rep, scalar readback
+        — the CLAUDE.md relay rules). Sub-floor slopes are measurement
+        failures: re-measure, and if persistently sub-floor return the
+        floor as the reading (with the raw value for the record)."""
+        key = jax.random.PRNGKey(seed)
+        raw = None
+        for attempt in range(3):
+            meds = []
+            for k in ks:
+                batches = [
+                    jax.block_until_ready(
+                        _gen(jax.random.fold_in(key, 1000 * attempt + 10 * k + r), k)
+                    )
+                    for r in range(reps + 1)
+                ]
+                float(fn(st, batches[-1]))  # warm per shape
+                ts = []
+                for b in batches[:-1]:
+                    t0 = time.perf_counter()
+                    float(fn(st, b))
+                    ts.append(time.perf_counter() - t0)
+                meds.append(float(np.median(ts)))
+            per = float(np.polyfit(ks, meds, 1)[0])
+            raw = per if raw is None else min(raw, per)
+            if per >= max(floor_s * 0.95, 20e-6):
+                return per, per, False
+        if raw < 20e-6:  # timer-noise regime (tiny --small shapes)
+            return meds[-1] / ks[-1], raw, False
+        return max(raw, floor_s), raw, True
+
+    step_s, step_raw, scan_subfloor = _slope_step_s(jax.jit(run_k), state, 21)
     scan_capacity = s * (hop / 16000.0) / step_s
+    scan_rec = {"streams": round(scan_capacity, 1),
+                "step_ms": round(step_s * 1e3, 3),
+                "step_ms_raw": round(step_raw * 1e3, 3),
+                "floor_clamped": scan_subfloor}
 
-    if jax.default_backend() != "tpu":  # the kernel needs Mosaic
+    if not on_tpu:  # the kernel needs Mosaic
         return {"metric": "concurrent_realtime_streams_per_chip",
                 "value": round(scan_capacity, 1), "unit": "streams",
                 "vs_baseline": None, "step_ms": round(step_s * 1e3, 3),
@@ -307,7 +378,8 @@ def bench_concurrent_streams(small=False) -> dict:
     # fused Pallas serving step (kernels/pallas_serving.py): stream-tile
     # grid pipelines each tile's state DMA against compute — measured AT
     # the per-stream state-bandwidth floor (0.136 vs 0.139 ms predicted,
-    # docs/ROOFLINE.md), 1.6x the scan step's capacity
+    # docs/ROOFLINE.md), 1.6x the scan step's capacity same-process
+    # (ab_serving_r3.json)
     from aec_tpu.kernels.pallas_serving import serving_init, serving_step_fused
 
     kstate = serving_init(s, tile=min(128, s))
@@ -320,14 +392,22 @@ def bench_concurrent_streams(small=False) -> dict:
         st, outs = jax.lax.scan(body, state, blocks_fm)
         return jnp.sum(outs)
 
-    fused_s = _slope_step_s(jax.jit(run_k_fused), kstate)
-    capacity = s * (hop / 16000.0) / fused_s
-    return {"metric": "concurrent_realtime_streams_per_chip", "value": round(capacity, 1),
-            "unit": "streams", "vs_baseline": None,
-            "step_ms": round(fused_s * 1e3, 3), "batch_streams": s,
-            "path": "fused_serving_kernel",
-            "scan_step": {"streams": round(scan_capacity, 1),
-                          "step_ms": round(step_s * 1e3, 3)}}
+    fused_s, fused_raw, fused_subfloor = _slope_step_s(jax.jit(run_k_fused), kstate, 22)
+    fused_capacity = s * (hop / 16000.0) / fused_s
+    fused_rec = {"streams": round(fused_capacity, 1),
+                 "step_ms": round(fused_s * 1e3, 3),
+                 "step_ms_raw": round(fused_raw * 1e3, 3),
+                 "floor_clamped": fused_subfloor}
+
+    # value of record = the measured winner (both paths reported)
+    winner = "fused_serving_kernel" if fused_capacity >= scan_capacity else "scan"
+    best = fused_rec if winner == "fused_serving_kernel" else scan_rec
+    return {"metric": "concurrent_realtime_streams_per_chip",
+            "value": best["streams"], "unit": "streams",
+            "vs_baseline": None, "step_ms": best["step_ms"],
+            "batch_streams": s, "path": winner,
+            "floor_ms": round(floor_s * 1e3, 3),
+            "fused_step": fused_rec, "scan_step": scan_rec}
 
 
 def bench_training(small=False) -> dict:

@@ -82,19 +82,24 @@ def make_scene_fn(n: int, rir_len: int = 1600, sr: int = 16000):
 
     def scenes(key, b):
         (k_far, k_near, k_rir, k_gain, k_snr, k_act, k_tilt,
-         k_kind, k_nl, k_delay) = jax.random.split(key, 10)
+         k_kind, k_nl, k_delay, k_nkind) = jax.random.split(key, 11)
         # ~half the scenes use harmonic speech-like far-ends (the regime
         # that exposed the classic-NLMS divergence; scenes.py)
         pick = (jax.random.uniform(k_kind, (b, 1)) < 0.5).astype(jnp.float32)
         far = pick * harmonic_speech(k_far, b) + (1.0 - pick) * speech_shaped(
             k_far, b
         )
-        # near-end: distinct random spectral emphasis + intermittent activity
-        near = speech_shaped(k_near, b)
+        # near-end: half harmonic speech-like (round-4 — the battery's
+        # speech_dtalk near IS harmonic, scenes.py speech_like f0=205;
+        # training only on shaped noise left that regime out-of-dist),
+        # half shaped noise with distinct random spectral emphasis
+        near_sn = speech_shaped(k_near, b)
         f = jnp.fft.rfftfreq(n, 1.0 / sr)
         center = jax.random.uniform(k_tilt, (b, 1), minval=300.0, maxval=3000.0)
         emphasis = jnp.exp(-((jnp.log(f[None, :] + 30.0) - jnp.log(center)) ** 2))
-        near = jnp.fft.irfft(jnp.fft.rfft(near) * emphasis, n=n)
+        near_sn = jnp.fft.irfft(jnp.fft.rfft(near_sn) * emphasis, n=n)
+        pick_n = (jax.random.uniform(k_nkind, (b, 1)) < 0.5).astype(jnp.float32)
+        near = pick_n * harmonic_speech(k_near, b) + (1.0 - pick_n) * near_sn
         near = near / (jnp.max(jnp.abs(near), axis=-1, keepdims=True) + 1e-9)
         # ~30% of scenes have a silent near end (teaches full suppression)
         active = (jax.random.uniform(k_act, (b, 1)) < 0.7).astype(jnp.float32)
@@ -153,6 +158,13 @@ def main() -> None:
         "therefore trains WITHOUT this flag; use it for suppression-max "
         "applications where near-end fidelity is secondary",
     )
+    p.add_argument(
+        "--asym", type=float, default=0.0,
+        help="weight of the reference's asymmetric speech-preservation "
+        "loss term (ERB.py:184-198, commented out there): penalizes only "
+        "near-end energy the mask removed — counterweights double-talk "
+        "over-suppression (little_net_loss asym_weight)",
+    )
     args = p.parse_args()
 
     from aec_tpu.configs import KalmanConfig, TrainConfig
@@ -191,13 +203,15 @@ def main() -> None:
                     li, _ = little_net_loss(
                         p, l1[None], f1[None], n1[None], erb, scfg,
                         normalize=False, sqrt_eps=1e-12,
+                        asym_weight=args.asym,
                     )
                     return li
 
                 li = jax.vmap(per_scene)(lin, far, near)
                 return jnp.mean(li / (jax.lax.stop_gradient(li) + 1e-2))
             loss, _ = little_net_loss(
-                p, lin, far, near, erb, scfg, sqrt_eps=1e-12
+                p, lin, far, near, erb, scfg, sqrt_eps=1e-12,
+                asym_weight=args.asym,
             )
             return loss
 

@@ -79,3 +79,45 @@ def test_little_net_grad_finite(rng):
     )(params)
     for g in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_asym_loss_option(rng):
+    """Round-4: the reference's asymmetric speech-preservation term
+    (ERB.py:184-198, commented out there) as a training option.
+    asym_weight=0 is EXACT parity with the plain loss; the term itself
+    equals sum(relu(sqrt(near_erb)-sqrt(est_erb))^2)/(T*E) and only fires
+    on under-estimation of the near end."""
+    from aec_tpu.models.little_net import little_net_init, little_net_loss
+    from aec_tpu.dsp import stft as stft_mod
+
+    params = little_net_init(jax.random.PRNGKey(3))
+    erb = jnp.asarray(erb_filterbank())
+    mic = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    ref = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    near = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    l0, aux = little_net_loss(params, mic, ref, near, erb, sqrt_eps=1e-12)
+    l0_w0, _ = little_net_loss(
+        params, mic, ref, near, erb, sqrt_eps=1e-12, asym_weight=0.0
+    )
+    assert float(l0) == float(l0_w0)  # w=0 is exact parity
+    w = 0.7
+    l1, _ = little_net_loss(
+        params, mic, ref, near, erb, sqrt_eps=1e-12, asym_weight=w
+    )
+    # reconstruct the term from the aux est_erb (normalize=True path:
+    # near goes through the same pseudo-norm inside the loss)
+    from aec_tpu.models.little_net import _pseudo_norm
+
+    near_erb = stft_mod.magnitude(stft_mod.stft(_pseudo_norm(near), StftConfig())) @ erb
+    t, e = near_erb.shape[-2], near_erb.shape[-1]
+    diff = jnp.sqrt(near_erb + 1e-12) - jnp.sqrt(aux["est_erb"] + 1e-12)
+    asym = jnp.sum(jax.nn.relu(diff) ** 2) / (t * e)
+    np.testing.assert_allclose(float(l1), float(l0) + w * float(asym), rtol=1e-6)
+    # gradients flow and stay finite
+    g = jax.grad(
+        lambda p: little_net_loss(
+            p, mic, ref, near, erb, sqrt_eps=1e-12, asym_weight=w
+        )[0]
+    )(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
