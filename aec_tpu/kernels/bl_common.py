@@ -246,7 +246,7 @@ def reproject_w(dots, consts, wr, wi):
 
 
 def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
-                      project=True):
+                      project=True, vpu_opt=False):
     """One batched PBFD-Kalman block update on batch-in-lanes refs.
 
     ``dots``  = (dot_x, dot_y, dot_e, dot_c, dot_fb) — the per-tier matmul
@@ -326,8 +326,22 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
 
     # gain + constrained update (factored rank-B projection)
     x2 = xr * xr + xi * xi  # (K, L*tile)
-    den = lsum(x2 * p_pred) + 2.0 * psi_new  # (K, tile)
-    er_d, ei_d = lbcast(er / den), lbcast(ei / den)
+    if vpu_opt:
+        # round-4 VPU lever (verdict item 5 — docs/ROOFLINE.md names the
+        # elementwise state chain as the last un-graded gap term): (a) the
+        # (K, L*tile) product x2*p_pred is computed ONCE and reused by the
+        # P update (identical numerics — same product); (b) the three
+        # per-step divides (two (K,tile), one full-grid) collapse to ONE
+        # (K,tile) reciprocal + multiplies. (b) adds one rounding per use
+        # (x * (1/den) vs x / den) on a smoothed, well-conditioned power —
+        # graded on the 8-scene battery before routing.
+        px = x2 * p_pred  # (K, L*tile), reused below
+        den = lsum(px) + 2.0 * psi_new  # (K, tile)
+        inv_den = 1.0 / den
+        er_d, ei_d = lbcast(er * inv_den), lbcast(ei * inv_den)
+    else:
+        den = lsum(x2 * p_pred) + 2.0 * psi_new  # (K, tile)
+        er_d, ei_d = lbcast(er / den), lbcast(ei / den)
     gr = p_pred * (xr * er_d + xi * ei_d)  # (K, L*tile)
     gi = p_pred * (xr * ei_d - xi * er_d)
     if project is True:  # static: the exact per-update projection
@@ -344,7 +358,10 @@ def kalman_block_step(kcfg, l, tile, dots, consts, state, far_b, d_b,
         def _reproject():
             reproject_w(dots, consts, wr, wi)
 
-    p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
+    if vpu_opt:
+        p[:] = jnp.maximum(p_pred * (1.0 - px * lbcast(inv_den)), floor)
+    else:
+        p[:] = jnp.maximum(p_pred * (1.0 - p_pred * x2 / lbcast(den)), floor)
     return e_blk
 
 

@@ -411,7 +411,7 @@ def kalman_cancel_fused_batched(
 
 def _kernel_batched_bl(
     cfg: KalmanConfig, k: int, tile: int, l: int, unroll: int, dot_mode: str,
-    t_inner: int = 1, constrain_every: int = 1,
+    t_inner: int = 1, constrain_every: int = 1, vpu_opt: bool = False,
 ):
     """Batch-in-LANES variant: utterances AND partitions ride the lane axis.
 
@@ -476,6 +476,7 @@ def _kernel_batched_bl(
             e_ref[0, 0, 0, u] = bl.kalman_block_step(
                 cfg, l, tile, dots, consts, state,
                 far_ref[0, 0, 0, u], d_ref[0, 0, 0, u], project=project,
+                vpu_opt=vpu_opt,
             )
 
     return kernel
@@ -485,7 +486,7 @@ def _kernel_batched_bl(
     jax.jit,
     static_argnames=(
         "cfg", "block", "interpret", "unroll", "tile", "dot_mode", "max_grid",
-        "vmem_limit_mb", "constrain_every"
+        "vmem_limit_mb", "constrain_every", "vpu_opt"
     ),
 )
 def kalman_filter_fused_batched_bl(
@@ -501,6 +502,7 @@ def kalman_filter_fused_batched_bl(
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
     constrain_every: int = 1,
+    vpu_opt: bool = False,
 ) -> jax.Array:
     """Batch-in-lanes fused Kalman: grid (batch_tiles, T/unroll), VMEM state.
 
@@ -570,7 +572,8 @@ def kalman_filter_fused_batched_bl(
 
     out = pl.pallas_call(
         _kernel_batched_bl(cfg, k, tile, l, unroll, dot_mode,
-                           t_inner=t_inner, constrain_every=constrain_every),
+                           t_inner=t_inner, constrain_every=constrain_every,
+                           vpu_opt=vpu_opt),
         grid=(bt, t_outer, t_inner),
         in_specs=[step(block), step(block)]
         + [whole(*c.shape) for c in const_ops],
@@ -618,6 +621,7 @@ def kalman_cancel_fused_batched_bl(
     max_grid: int = 256,
     vmem_limit_mb: int | None = None,
     constrain_every: int = 1,
+    vpu_opt: bool = False,
 ) -> dict[str, jax.Array]:
     """Waveform in/out batched canceller on the batch-in-lanes kernel.
 
@@ -634,6 +638,7 @@ def kalman_cancel_fused_batched_bl(
         cfg, far_blocks, d_blocks, block=block, interpret=interpret, tile=tile,
         unroll=unroll, dot_mode=dot_mode, max_grid=max_grid,
         vmem_limit_mb=vmem_limit_mb, constrain_every=constrain_every,
+        vpu_opt=vpu_opt,
     )
     return {"wav": e.reshape(e.shape[0], -1)[:, :n]}
 

@@ -184,6 +184,140 @@ def _fused_apply(params, real_imag, interpret):
     return jax.tree.map(lambda a: a.astype(real.dtype), out)
 
 
+def _int8_kernel(unroll: int, b_rows: int, hidden: int, t_steps: int):
+    """Per-grid-step body of the int8-resident single-LSTM scan."""
+
+    def kernel(xp_ref, wq_ref, scale_ref, y_ref, c_out, hq, c):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            hq[:] = jnp.zeros_like(hq)
+            c[:] = jnp.zeros_like(c)
+
+        out_scale = scale_ref[:]  # (1, 4H) f32 = w_row_scale / 127
+        for u in range(unroll):
+            acc = jax.lax.dot_general(
+                hq[:], wq_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (b_rows, 4H) s8 x s8 -> s32 on the MXU
+            gates = xp_ref[0, u] + acc.astype(jnp.float32) * out_scale
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g_ = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            c_new = f * c[:] + i * g_
+            h_new = o * jnp.tanh(c_new)
+            y_ref[0, u] = h_new
+
+            # time-padded tail frames (t_pad) must not advance the carried
+            # state — c_final would otherwise be corrupted by zero-input
+            # pseudo-steps
+            @pl.when(t * unroll + u < t_steps)
+            def _advance():
+                c[:] = c_new
+                # |h| < 1 by construction; clip keeps the f32->int8 convert
+                # defined for any input. Same fixed-scale-127 quantization
+                # as ops/lstm.py's int8 scan branch — the requantization is
+                # a pure function of h, so carrying int8 h forward is
+                # numerically IDENTICAL to the scan formulation.
+                hq[:] = jnp.round(
+                    jnp.clip(h_new * 127.0, -127.0, 127.0)
+                ).astype(jnp.int8)
+
+        # constant-index output block: copied out once, after the last step
+        c_out[:] = c[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "unroll", "vmem_limit_mb")
+)
+def lstm_int8_fused(
+    w_q_t: jax.Array,  # (H, 4H) int8 per-row-quantized recurrent weights
+    out_scale: jax.Array,  # (4H,) f32 — w_row_scale / 127 (dequant fold)
+    xp: jax.Array,  # (B, T, 4H) f32 — x @ w_ih.T + b_ih + b_hh, hoisted
+    *,
+    interpret: bool = False,
+    unroll: int = 8,
+    vmem_limit_mb: int = 100,
+) -> jax.Array:
+    """int8-RESIDENT Pallas LSTM scan: returns ys (B, T, H) f32.
+
+    The round-3 XLA int8 scan (ops/lstm.lstm_scan recurrent_dtype="int8")
+    cut ATT-CCRN's batch-1 bottleneck 92.5 -> 24.5 ms by shrinking the 4H^2
+    recurrent block to 64 MiB — under v5e's 128 MiB VMEM, so XLA keeps it
+    resident. This kernel removes what's left of the per-step XLA
+    while-loop overhead the same way kernels above do for bf16: weights
+    pinned in VMEM across the whole time grid via a constant-index
+    BlockSpec, h carried as int8 scratch (requantizing f32 h each step is a
+    pure function of h, so feeding the int8 carry forward is numerically
+    IDENTICAL to the scan formulation), c in f32 scratch, ``unroll``
+    pre-projected frames streamed per grid step. Inference-only (the
+    round() sites have zero gradient), like the scan branch it mirrors.
+
+    Verdict-r3 item 3: the measured A/B against the XLA int8 scan lives in
+    benchmarks/ab_lstm_int8.py (--kernel leg).
+    """
+    b, t_steps, four_h = xp.shape
+    hidden = four_h // 4
+    # MXU/VPU row padding: f32 min sublane tile is 8; the int8 h operand
+    # rides the same rows (Mosaic pads the int8 scratch internally)
+    b_rows = max(8, b)
+    if b_rows % 8:
+        b_rows += -b_rows % 8
+    unroll = max(1, min(unroll, t_steps))
+    t_pad = (-t_steps) % unroll
+    t_total = t_steps + t_pad
+    xp = jnp.pad(
+        xp.astype(jnp.float32), [(0, b_rows - b), (0, t_pad), (0, 0)]
+    )
+    xp = jnp.swapaxes(xp, 0, 1).reshape(
+        t_total // unroll, unroll, b_rows, four_h
+    )
+
+    whole = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ys = pl.pallas_call(
+        _int8_kernel(unroll, b_rows, hidden, t_steps),
+        grid=(t_total // unroll,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, unroll, b_rows, four_h), lambda t: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            whole((hidden, four_h)),
+            whole((1, four_h)),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, unroll, b_rows, hidden), lambda t: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            whole((b_rows, hidden)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (t_total // unroll, unroll, b_rows, hidden), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((b_rows, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_rows, hidden), jnp.int8),  # h (quantized carry)
+            pltpu.VMEM((b_rows, hidden), jnp.float32),  # c
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+        ),
+    )(xp, w_q_t, out_scale.reshape(1, four_h).astype(jnp.float32))
+    ys, c_final = ys
+    ys = ys.reshape(t_total, b_rows, hidden)[:t_steps, :b]
+    return jnp.swapaxes(ys, 0, 1), c_final[:b]  # (B, T, H), (B, H)
+
+
 def _fwd(params, real_imag, interpret):
     return _fused_apply(params, real_imag, interpret), (params, real_imag)
 

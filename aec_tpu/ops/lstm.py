@@ -64,7 +64,7 @@ def lstm_cell(params: LstmParams, h, c, x_proj):
 
 
 def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
-              recurrent_dtype=None):
+              recurrent_dtype=None, int8_kernel: bool | None = None):
     """[B, T, I] -> ([B, T, H], (h_T, c_T)).
 
     ``recurrent_dtype`` (None = auto: bfloat16 on the TPU backend, else
@@ -92,6 +92,7 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
     """
     b, t, _ = x.shape
     hidden = params["w_hh"].shape[-1]
+    default_state = h0 is None and c0 is None
     if h0 is None:
         h0 = jnp.zeros((b, hidden), dtype=x.dtype)
     if c0 is None:
@@ -125,6 +126,34 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
         w_q_t = w_q.T  # (H, 4H) int8 — the per-step HBM stream
         out_scale = (w_scale / 127.0).astype(x.dtype)  # (4H,)
         b_hh = params["b_hh"]
+        # int8-RESIDENT Pallas kernel (round-4, kernels/pallas_lstm.py):
+        # the quantized weights pinned in VMEM across the whole time grid,
+        # h carried as int8 scratch — removes the per-step XLA while-loop
+        # overhead on top of the byte-halving. Auto-route: small batch,
+        # long sequence, MXU-aligned dims, zero initial state (the kernel
+        # starts from zeros), TPU backend. ``int8_kernel`` overrides.
+        use_kernel = int8_kernel
+        if use_kernel is None:
+            use_kernel = (
+                default_state and b <= 8 and t >= 64
+                and hidden % 128 == 0
+                and jax.default_backend() == "tpu"
+            )
+        elif use_kernel and not (default_state and hidden % 128 == 0):
+            raise ValueError(
+                "int8_kernel=True needs zero initial state and "
+                "128-aligned hidden dim (got h0/c0 set or "
+                f"hidden={hidden})"
+            )
+        if use_kernel:
+            from aec_tpu.kernels.pallas_lstm import lstm_int8_fused
+
+            ys, c_last = lstm_int8_fused(
+                w_q_t, out_scale, x_proj + b_hh,
+                interpret=jax.default_backend() != "tpu",
+            )
+            ys = ys.astype(x.dtype)
+            return ys, (ys[:, -1], c_last.astype(x.dtype))
 
         def step(carry, xp_t):
             h, c = carry

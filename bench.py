@@ -40,9 +40,10 @@ import jax.numpy as jnp
 import numpy as np
 
 # Skip remaining configs past this point (the headline ALWAYS runs after).
-# 40 min: the full warm-cache suite measures ~35 min now that config #6
-# times both serving paths and #8 covers 7 families incl. att_ccrn batch-8.
-SUITE_BUDGET_S = 40 * 60
+# 48 min: the full warm-cache suite measures ~35 min; round-4 adds ~4
+# compile shapes to config #6 (hardened 4-point slope, both serving paths)
+# and 2 to config #5 (slope-timed production two_stage_cancel route).
+SUITE_BUDGET_S = 48 * 60
 
 
 def headline(reps: int = 5, quality: str = "parity") -> dict:

@@ -16,8 +16,9 @@ methodology):
    none exists for this family; documented caveat);
 3. same-process slope-timed batch-1 cost, default (bf16 on TPU) vs int8.
 
-Usage: python -m benchmarks.ab_lstm_int8 [--quality-only]
-Artifact: benchmarks/results/ab_lstm_int8_r3.json
+Usage: python -m benchmarks.ab_lstm_int8 [--quality-only|--time-only] [--e2e]
+Artifact: benchmarks/results/ab_lstm_int8_r4.json (legs from separate
+processes merge into it; seeded from the r3 artifact if present).
 """
 
 from __future__ import annotations
@@ -89,17 +90,19 @@ def quality_grades():
     return out
 
 
-def slope_time(rd, key, reps=5):
+def slope_time(rd, key, reps=5, int8_kernel=None):
     # params are jit ARGUMENTS (closure constants would 413 the relay)
     params = lstm_init(jax.random.PRNGKey(0), H, H)
 
-    @partial(jax.jit, static_argnums=2)
-    def run_k(p, xs, rd_):  # xs: (k, 1, T, H)
+    @partial(jax.jit, static_argnums=(2, 3))
+    def run_k(p, xs, rd_, ik):  # xs: (k, 1, T, H)
         def body(c, x):
-            y, _ = lstm_scan(p, x, recurrent_dtype=rd_)
+            y, _ = lstm_scan(p, x, recurrent_dtype=rd_, int8_kernel=ik)
             return c + jnp.sum(y[:, -1]), None
 
         return jax.lax.scan(body, jnp.float32(0.0), xs)[0]
+    _run_k = run_k
+    run_k = lambda p, xs, rd_: _run_k(p, xs, rd_, int8_kernel)
 
     @partial(jax.jit, static_argnums=1)
     def gen(k_, k):
@@ -180,21 +183,27 @@ def main():
         out.update(quality_grades())
         print(json.dumps(out), flush=True)
     if "--quality-only" not in sys.argv:
-        for name, rd in (("default", None), ("int8", "int8")):
-            per = slope_time(rd, jax.random.PRNGKey(7))
+        legs = [("default", None, None), ("int8", "int8", False),
+                ("int8_kernel", "int8", True)]
+        for name, rd, ik in legs:
+            per = slope_time(rd, jax.random.PRNGKey(7), int8_kernel=ik)
             out[f"utt_ms_{name}"] = round(per * 1e3, 2)
             print(json.dumps({f"utt_ms_{name}": out[f"utt_ms_{name}"]}), flush=True)
         out["speedup"] = round(out["utt_ms_default"] / out["utt_ms_int8"], 3)
+        out["kernel_vs_scan"] = round(
+            out["utt_ms_int8"] / out["utt_ms_int8_kernel"], 3
+        )
     if "--e2e" in sys.argv:
         out["att_ccrn_e2e"] = e2e_time()
         print(json.dumps({"att_ccrn_e2e": out["att_ccrn_e2e"]}), flush=True)
     print(json.dumps(out))
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "results", "ab_lstm_int8_r3.json")
+    path = os.path.join(os.path.dirname(__file__), "results", "ab_lstm_int8_r4.json")
     merged = {}
-    if os.path.isfile(path):  # quality and timing legs run in separate processes
-        with open(path) as fh:
+    seed = path if os.path.isfile(path) else path.replace("_r4", "_r3")
+    if os.path.isfile(seed):  # quality and timing legs run in separate processes
+        with open(seed) as fh:
             merged = json.load(fh)
     merged.update(out)
     with open(path, "w") as fh:

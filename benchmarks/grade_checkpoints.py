@@ -9,7 +9,10 @@ reports:
   signal on scenes that have one (double talk) — the speech-preservation
   axis the reference's broken measure.py intended (measure.py:5).
 
-Prints one JSON line (artifact: benchmarks/results/checkpoint_quality_r3.json).
+Prints one JSON line; round-4 artifact written to
+benchmarks/results/checkpoint_quality_r4.json (round-3 grades preserved at
+checkpoint_quality_r3.json). Round-4 adds an SI-SNR column on scenes with
+an active near end (the speech-preservation axis, verdict item 2).
 Runs fine on CPU (quality grading, not a benchmark).
 """
 
@@ -38,6 +41,7 @@ def main() -> None:
     ckpts = {
         "specialist": os.path.join(ckpt_dir, "little_net_synthetic.npz"),
         "robust": os.path.join(ckpt_dir, "little_net_robust.npz"),
+        "general": os.path.join(ckpt_dir, "little_net_general.npz"),
     }
     # extra candidates from argv: name=path pairs
     import sys
@@ -69,7 +73,12 @@ def main() -> None:
                 "two_stage_erle_db": round(erle_tail(mic, wav), 2),
             }
             if near.any():
+                from aec_tpu.train.metrics import si_snr
+
                 row["stoi"] = round(float(stoi(near, wav)), 4)
+                row["sisnr_db"] = round(
+                    float(si_snr(jnp.asarray(wav)[None], jnp.asarray(near)[None])), 2
+                )
                 try:
                     row["pesq_from_spec"] = round(
                         pesq(near.astype(np.float64), wav.astype(np.float64)), 3
@@ -80,6 +89,11 @@ def main() -> None:
             print(name, scene, row, flush=True)
         results[name] = rows
     print(json.dumps(results))
+    path = os.path.join(
+        os.path.dirname(__file__), "results", "checkpoint_quality_r4.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(results, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,11 @@ def main() -> None:
             # alternating gradient constraint (the constraint pair is ~80%
             # of the kernel's MXU work — benchmarks/roofline.py): raw
             # accumulate + whole-W re-projection every k-th block
+            # round-4 VPU lever (verdict item 5): one reciprocal instead of
+            # three per-step divides + x2*p_pred reuse (bl_common vpu_opt)
+            "fused_bal_vpu": kalman_cancel_fused_batched_bl(
+                kcfg, farb, micb, tile=4, dot_mode="balanced", vpu_opt=True
+            )["wav"][0],
             "fused_bal_ce2": kalman_cancel_fused_batched_bl(
                 kcfg, farb, micb, tile=4, dot_mode="balanced",
                 constrain_every=2,
