@@ -240,7 +240,7 @@ def lstm_int8_fused(
     xp: jax.Array,  # (B, T, 4H) f32 — x @ w_ih.T + b_ih + b_hh, hoisted
     *,
     interpret: bool = False,
-    unroll: int = 8,
+    unroll: int = 1,
     vmem_limit_mb: int = 100,
 ) -> jax.Array:
     """int8-RESIDENT Pallas LSTM scan: returns ys (B, T, H) f32.
@@ -257,8 +257,24 @@ def lstm_int8_fused(
     pre-projected frames streamed per grid step. Inference-only (the
     round() sites have zero gradient), like the scan branch it mirrors.
 
-    Verdict-r3 item 3: the measured A/B against the XLA int8 scan lives in
-    benchmarks/ab_lstm_int8.py (--kernel leg).
+    Verdict-r3 item 3 — MEASURED VERDICT: the kernel LOSES to the XLA int8
+    scan at the target dims (honest same-process slope on v5e, H=4096
+    T=512 batch-1: kernel 28.96 ms vs scan 24.67 —
+    benchmarks/results/ab_lstm_int8_r4.json). The 67 MB int8 weight block
+    already fits VMEM, so XLA keeps it resident in the scan too; both
+    formulations pay the same serial (B,H)x(H,4H) dot-latency chain, and
+    the kernel adds per-grid-step DMA/sync the XLA while-loop pipelines
+    better. Kept un-routed (lstm_scan(int8_kernel=True) opt-in) as the
+    measured record, pallas_fullsubnet.py-style. Earlier async probe
+    readings of ~0.4 ms were relay-memoization artifacts — only
+    host-readback slope timings count on this tunnel (CLAUDE.md).
+
+    ``unroll`` defaults to 1 — at ATT-CCRN dims (H=4096, T=512) the remote
+    Mosaic compile measured 937 s at unroll=8 vs 12.4 s at unroll=1 for
+    indistinguishable runtime (the serial (B,H)x(H,4H) dot-latency chain is
+    the cost; per-grid-step overhead is ~1 us, so unrolling buys ~T us
+    total while the compiler has to schedule ``unroll`` copies of the giant
+    dot). Raise it only for small hidden sizes.
     """
     b, t_steps, four_h = xp.shape
     hidden = four_h // 4

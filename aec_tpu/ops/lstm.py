@@ -127,19 +127,18 @@ def lstm_scan(params: LstmParams, x: jax.Array, h0=None, c0=None,
         out_scale = (w_scale / 127.0).astype(x.dtype)  # (4H,)
         b_hh = params["b_hh"]
         # int8-RESIDENT Pallas kernel (round-4, kernels/pallas_lstm.py):
-        # the quantized weights pinned in VMEM across the whole time grid,
-        # h carried as int8 scratch — removes the per-step XLA while-loop
-        # overhead on top of the byte-halving. Auto-route: small batch,
-        # long sequence, MXU-aligned dims, zero initial state (the kernel
-        # starts from zeros), TPU backend. ``int8_kernel`` overrides.
-        use_kernel = int8_kernel
-        if use_kernel is None:
-            use_kernel = (
-                default_state and b <= 8 and t >= 64
-                and hidden % 128 == 0
-                and jax.default_backend() == "tpu"
-            )
-        elif use_kernel and not (default_state and hidden % 128 == 0):
+        # quantized weights pinned in VMEM across the whole time grid, h
+        # carried as int8 scratch. MEASURED SLOWER than this XLA scan at
+        # the ATT-CCRN bottleneck dims (honest same-process slope, v5e:
+        # kernel 28.96 ms vs scan 24.67 per 512-frame batch-1 utterance —
+        # benchmarks/results/ab_lstm_int8_r4.json): XLA already keeps the
+        # 67 MB int8 block VMEM-resident, both formulations face the same
+        # serial dot-latency chain, and the kernel adds per-grid-step DMA
+        # overhead. Kept as an EXPLICIT opt-in (int8_kernel=True) — a
+        # measured dead end in the pallas_fullsubnet.py tradition, not a
+        # route.
+        use_kernel = bool(int8_kernel)
+        if use_kernel and not (default_state and hidden % 128 == 0):
             raise ValueError(
                 "int8_kernel=True needs zero initial state and "
                 "128-aligned hidden dim (got h0/c0 set or "
