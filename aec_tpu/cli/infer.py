@@ -56,6 +56,7 @@ def load_params(model_file: str):
 def _make_enhancer(
     model: str, model_file: str, stage1: str, scfg: StftConfig,
     normalize: bool = True, align_far_ms: float = 0.0,
+    lstm_dtype: str = "auto",
 ):
     """Returns enhance(far [B,n], mic [B,n]) -> wav [B,n], loading weights.
 
@@ -158,12 +159,27 @@ def _make_enhancer(
         from aec_tpu.models.att_ccrn import AttCcrnConfig, att_ccrn_apply
 
         cfg = AttCcrnConfig()
+        # inference default on TPU: int8 recurrent-weight streaming for the
+        # 4096-unit bottleneck LSTM — 91.4 -> 25.6 ms per 8 s utterance at
+        # batch 1 (87.5x -> 312.8x realtime), graded at >= 71.4 dB wav SNR
+        # vs the bf16 path on all 8 battery scenes
+        # (benchmarks/results/ab_lstm_int8_r4.json). Training paths are
+        # untouched (int8's round() has zero gradient); --lstm_dtype opts
+        # out. Off-TPU stays f32 (XLA CPU has no fast s8 dot; oracles).
+        if lstm_dtype == "auto":
+            rd = "int8" if jax.default_backend() == "tpu" else None
+        else:
+            rd = {"int8": "int8", "bf16": jnp.bfloat16,
+                  "f32": jnp.float32}[lstm_dtype]
 
         @jax.jit
         def enhance(far, mic):
             far = prealign(far, mic)
             lin = stage1_fn(far, mic)
-            return att_ccrn_apply(params, model_state, lin, far, cfg, train=False)[0]["wav"]
+            return att_ccrn_apply(
+                params, model_state, lin, far, cfg, train=False,
+                lstm_recurrent_dtype=rd,
+            )[0]["wav"]
 
         return enhance, params
 
@@ -197,6 +213,13 @@ def main(argv=None) -> None:
                         "--no-normalize gives the causal/streaming-equivalent "
                         "mode. little_net only; other families have no "
                         "reference-side input normalization.")
+    p.add_argument("--lstm_dtype", choices=("auto", "int8", "bf16", "f32"),
+                   default="auto",
+                   help="att_ccrn only: recurrent-weight streaming dtype of "
+                        "the bottleneck LSTM. auto = int8 on TPU (3.6x "
+                        "faster, graded >= 71 dB wav SNR vs bf16 on all 8 "
+                        "battery scenes — ab_lstm_int8_r4.json), f32 "
+                        "elsewhere; set bf16/f32 to opt out.")
     p.add_argument("--sr", type=int, default=16000)
     args = p.parse_args(argv)
 
@@ -209,6 +232,7 @@ def main(argv=None) -> None:
         enhance, params = _make_enhancer(
             args.model, args.model_file, args.stage1, scfg,
             normalize=args.normalize, align_far_ms=args.align_far_ms,
+            lstm_dtype=args.lstm_dtype,
         )
         log.info("Loaded %s from %s", args.model, args.model_file)
     except FileNotFoundError:

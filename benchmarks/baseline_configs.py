@@ -630,10 +630,11 @@ def bench_model_zoo(small=False) -> dict:
         "utt_ms": round(per_ab * 1e3 / ab, 2),
     }
 
-    # opt-in int8 recurrent-weight stream: the 4H^2 block drops to 67 MB,
-    # UNDER v5e's 128 MiB VMEM, so XLA keeps it resident instead of
-    # streaming it per step — measured 92.5 -> 24.5 ms at the bare-LSTM
-    # level (3.8x; benchmarks/ab_lstm_int8.py, quality graded there too)
+    # int8 recurrent-weight stream (the cli/infer TPU inference DEFAULT
+    # since round 4; graded >= 71 dB wav SNR vs bf16 on all 8 scenes —
+    # ab_lstm_int8_r4.json): the 4H^2 block drops to 67 MB, UNDER v5e's
+    # 128 MiB VMEM, so XLA keeps it resident instead of streaming it per
+    # step — measured 91.2 -> 24.7 ms at the bare-LSTM level (3.7x)
     xrt_ai, _, per_ai = _sequential_device_xrt(
         lambda c, f, m: att_ccrn_apply(
             c[0], c[1], m[None], f[None], acfg, lstm_recurrent_dtype="int8"
