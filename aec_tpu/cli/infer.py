@@ -56,7 +56,7 @@ def load_params(model_file: str):
 def _make_enhancer(
     model: str, model_file: str, stage1: str, scfg: StftConfig,
     normalize: bool = True, align_far_ms: float = 0.0,
-    lstm_dtype: str = "auto",
+    lstm_dtype: str = "auto", gain_norm: bool = False,
 ):
     """Returns enhance(far [B,n], mic [B,n]) -> wav [B,n], loading weights.
 
@@ -113,12 +113,16 @@ def _make_enhancer(
                 model_file, {"params": two_layer_gru_init(jax.random.PRNGKey(0))}
             )["params"]
             apply_fn = lambda p, m, f, e, c, **kw: two_layer_gru_apply(p, m, f, e, c)
+            if gain_norm:
+                raise ValueError("--gain-norm is little_net-only (the ERB "
+                                 "synthesis quirk lives in ERB.py:306-310)")
 
         @jax.jit
         def enhance(far, mic):
             far = prealign(far, mic)
             lin = stage1_fn(far, mic)
-            return apply_fn(params, lin, far, erb, scfg, normalize=normalize)["wav"]
+            return apply_fn(params, lin, far, erb, scfg, normalize=normalize,
+                            gain_norm=gain_norm)["wav"]
 
         return enhance, params
 
@@ -213,6 +217,13 @@ def main(argv=None) -> None:
                         "--no-normalize gives the causal/streaming-equivalent "
                         "mode. little_net only; other families have no "
                         "reference-side input normalization.")
+    p.add_argument("--gain-norm", action="store_true",
+                   help="little_net only: scale-sane ERB synthesis (divide "
+                        "the reference's magnitude-valued back-projection "
+                        "by the unmasked one — gain becomes a [0,1] convex "
+                        "combination of the sigmoid mask). Recommended with "
+                        "the preservation-trained little_net_dtalk.npz "
+                        "checkpoint; see models/little_net.py.")
     p.add_argument("--lstm_dtype", choices=("auto", "int8", "bf16", "f32"),
                    default="auto",
                    help="att_ccrn only: recurrent-weight streaming dtype of "
@@ -232,7 +243,7 @@ def main(argv=None) -> None:
         enhance, params = _make_enhancer(
             args.model, args.model_file, args.stage1, scfg,
             normalize=args.normalize, align_far_ms=args.align_far_ms,
-            lstm_dtype=args.lstm_dtype,
+            lstm_dtype=args.lstm_dtype, gain_norm=args.gain_norm,
         )
         log.info("Loaded %s from %s", args.model, args.model_file)
     except FileNotFoundError:

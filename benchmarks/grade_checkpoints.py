@@ -46,7 +46,10 @@ def main() -> None:
     # extra candidates from argv: name=path pairs
     import sys
 
+    gain_norm = "--gain-norm" in sys.argv
     for arg in sys.argv[1:]:
+        if arg.startswith("--"):
+            continue
         name, _, path = arg.partition("=")
         ckpts[name] = path
     erb = jnp.asarray(erb_filterbank())
@@ -64,6 +67,7 @@ def main() -> None:
             out = two_stage_cancel(
                 params, jnp.asarray(far), jnp.asarray(mic), erb,
                 stage1="kalman", lin_cfg=KalmanConfig(),
+                gain_norm=gain_norm,
             )
             wav = np.asarray(out["wav"])
             row = {
@@ -90,7 +94,9 @@ def main() -> None:
         results[name] = rows
     print(json.dumps(results))
     path = os.path.join(
-        os.path.dirname(__file__), "results", "checkpoint_quality_r4.json"
+        os.path.dirname(__file__), "results",
+        "checkpoint_quality_r4_gn.json" if gain_norm
+        else "checkpoint_quality_r4.json",
     )
     with open(path, "w") as fh:
         json.dump(results, fh, indent=1)

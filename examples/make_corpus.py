@@ -72,6 +72,12 @@ def synth_quadruple(rng: np.random.Generator, n: int):
         near = (rng.uniform(0.2, 0.8) * near).astype(np.float32)
     else:
         near = np.zeros(n, np.float32)
+    # every real recording has a sensor/room noise floor (~-60 dBFS).
+    # Exact digital silence is out-of-distribution for the reference loss
+    # contract: Little_net's pseudo-norm divides by the near end's std
+    # (ERB.py:254-256), so an all-zero near NaNs the cv loss — measured on
+    # the first corpus flow (round 4); recorded corpora never hit it.
+    near = (near + 1e-3 * rng.standard_normal(n)).astype(np.float32)
 
     mic = echo + near
     scale = np.float32(1.0 / (np.abs(mic).max() + 1e-9))
