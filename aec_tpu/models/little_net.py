@@ -82,15 +82,28 @@ def _pseudo_norm(x: jax.Array, per_utt: bool = False) -> jax.Array:
     extension when enhancing many utterances in one device batch — each comes
     out exactly as a batch=1 reference run would produce it.
     """
+    # std == 0 (an all-constant tensor, e.g. an all-silent-near training
+    # batch — hit by small-batch recipes, p = 0.3^batch per step) makes
+    # mean/std 0/0 = NaN — the reference's torch code shares the hazard
+    # (x.mean()/x.std(), ERB.py:254). DOCUMENTED DIVERGENCE: define the
+    # ratio as 0 there (a constant signal needs no offset). The guard sits
+    # inside the sqrt (double-where) so the backward pass is NaN-free too:
+    # sqrt'(0) = inf would otherwise poison gradients even on the dead
+    # branch (0 cotangent * inf = NaN).
+    def _safe_ratio(mean, var):
+        nz = var > 0.0
+        std = jnp.sqrt(jnp.where(nz, var, 1.0))
+        return jnp.where(nz, mean / std, 0.0)
+
     if per_utt:
         mean = jnp.mean(x, axis=-1, keepdims=True)
         n = x.shape[-1]
-        std = jnp.sqrt(jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (n - 1))
-        return x - mean / std
+        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (n - 1)
+        return x - _safe_ratio(mean, var)
     mean = jnp.mean(x)
     # torch.std default: unbiased (ddof=1) over all elements
-    std = jnp.sqrt(jnp.sum((x - mean) ** 2) / (x.size - 1))
-    return x - mean / std
+    var = jnp.sum((x - mean) ** 2) / (x.size - 1)
+    return x - _safe_ratio(mean, var)
 
 
 def little_net_features(
@@ -187,6 +200,8 @@ def little_net_loss(
     normalize: bool = True,
     sqrt_eps: float = 0.0,
     asym_weight: float = 0.0,
+    gain_norm: bool = False,
+    sisnr_weight: float = 0.0,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Training objective: compressed ERB-magnitude MSE (ERB.py:318-323).
 
@@ -207,12 +222,33 @@ def little_net_loss(
     commented combination is ``alpha*loss_mag + (1-alpha)*loss_asym``;
     ours is the additive form ``loss_mag + w*loss_asym`` (w=0 is exact
     parity with the live reference loss).
+
+    ``gain_norm`` synthesizes the aux waveform (and the sisnr term below)
+    through the scale-sane convex gain (see :func:`little_net_apply`) —
+    use it when the deployment path runs ``gain_norm=True`` so the
+    waveform the loss sees IS the deployed waveform. The ERB-magnitude MSE
+    term is unaffected (it reads ``est_erb``, upstream of synthesis).
+
+    ``sisnr_weight`` adds a waveform-domain speech-preservation term (no
+    reference counterpart — their declared sisdr metric is never computed,
+    SURVEY §2.4.7): ``-w/10 * mean_active(si_snr(wav, near))``, the
+    per-scene SI-SNR of the synthesized output against the near end,
+    averaged over scenes whose near end is active (silent-near scenes
+    contribute no term — SI-SNR against silence is undefined). This
+    optimizes the deployed double-talk metric directly, through the
+    synthesis path, which the ERB-magnitude MSE only proxies.
     """
+    # activity decided on the RAW near end: the pseudo-norm below shifts a
+    # silent scene to a DC constant (the global mean/std ratio), which
+    # would otherwise count as "active" for the sisnr term
+    near_act = (jnp.mean(near * near, axis=-1) > 1e-8).astype(jnp.float32)
     if normalize:
         mic = _pseudo_norm(mic)
         ref = _pseudo_norm(ref)
         near = _pseudo_norm(near)
-    out = little_net_apply(params, mic, ref, erb, cfg, normalize=False)
+    out = little_net_apply(
+        params, mic, ref, erb, cfg, normalize=False, gain_norm=gain_norm
+    )
     near_erb = stft_mod.magnitude(stft_mod.stft(near, cfg)) @ erb  # [B, T, E]
     t, e = near_erb.shape[-2], near_erb.shape[-1]
     diff = jnp.sqrt(near_erb + sqrt_eps) - jnp.sqrt(out["est_erb"] + sqrt_eps)
@@ -220,6 +256,13 @@ def little_net_loss(
     if asym_weight:
         under = jax.nn.relu(diff)  # near above estimate: removed near-end
         loss = loss + asym_weight * jnp.sum(under * under) / (t * e)
+    if sisnr_weight:
+        from aec_tpu.train.metrics import si_snr
+
+        wav = out["wav"][..., : near.shape[-1]]
+        per = jax.vmap(lambda w, n_: si_snr(w[None], n_[None]))(wav, near)
+        mean_db = jnp.sum(per * near_act) / jnp.maximum(jnp.sum(near_act), 1.0)
+        loss = loss - sisnr_weight * mean_db / 10.0
     return loss, {"wav": out["wav"], "est_erb": out["est_erb"]}
 
 

@@ -165,6 +165,14 @@ def main() -> None:
         "near-end energy the mask removed — counterweights double-talk "
         "over-suppression (little_net_loss asym_weight)",
     )
+    p.add_argument(
+        "--sisnr", type=float, default=0.0,
+        help="weight of the waveform-domain SI-SNR speech-preservation "
+        "term (little_net_loss sisnr_weight): optimizes the deployed "
+        "double-talk metric directly through the synthesis path; implies "
+        "gain_norm synthesis in the loss (the deployment contract for "
+        "preservation checkpoints)",
+    )
     args = p.parse_args()
 
     from aec_tpu.configs import KalmanConfig, TrainConfig
@@ -212,6 +220,8 @@ def main() -> None:
             loss, _ = little_net_loss(
                 p, lin, far, near, erb, scfg, sqrt_eps=1e-12,
                 asym_weight=args.asym,
+                sisnr_weight=args.sisnr,
+                gain_norm=args.sisnr > 0,
             )
             return loss
 

@@ -121,3 +121,88 @@ def test_asym_loss_option(rng):
     )(params)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sisnr_loss_option(rng):
+    """Round-4: waveform-domain SI-SNR preservation term (sisnr_weight) +
+    gain_norm synthesis in the loss. sisnr_weight=0/gain_norm=False is
+    exact parity; the term equals -w/10 * mean-active per-scene SI-SNR of
+    the (gain_norm) aux waveform vs the pseudo-normed near end; a silent
+    near end contributes nothing (no NaN)."""
+    from aec_tpu.models.little_net import _pseudo_norm
+    from aec_tpu.train.metrics import si_snr
+
+    params = little_net_init(jax.random.PRNGKey(3))
+    erb = jnp.asarray(erb_filterbank())
+    mic = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    ref = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    near = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    # scene 1 silent near end: masked out of the SI-SNR mean
+    near = near.at[1].set(0.0)
+
+    l0, _ = little_net_loss(params, mic, ref, near, erb, sqrt_eps=1e-12)
+    l0b, _ = little_net_loss(
+        params, mic, ref, near, erb, sqrt_eps=1e-12,
+        sisnr_weight=0.0, gain_norm=False,
+    )
+    assert float(l0) == float(l0b)
+
+    w = 0.4
+    lw, aux = little_net_loss(
+        params, mic, ref, near, erb, sqrt_eps=1e-12,
+        sisnr_weight=w, gain_norm=True,
+    )
+    # reconstruct: base loss with gain_norm (est_erb term is synthesis-
+    # independent, so it equals l0) minus w/10 * SI-SNR of scene 0 only
+    near_n = _pseudo_norm(near)
+    s = float(si_snr(aux["wav"][:1, : near.shape[-1]], near_n[:1]))
+    # (rtol: the in-loss vmapped si_snr and this direct call reduce in
+    # different orders in f32)
+    np.testing.assert_allclose(float(lw), float(l0) - w * s / 10.0, rtol=1e-3)
+    assert np.isfinite(float(lw))
+
+    g = jax.grad(
+        lambda p: little_net_loss(
+            p, mic, ref, near, erb, sqrt_eps=1e-12,
+            sisnr_weight=w, gain_norm=True,
+        )[0]
+    )(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_all_silent_near_batch_is_finite(rng):
+    """Round-4 regression: a batch whose near ends are ALL silent (p =
+    0.3^batch per step in the synthetic recipe — hit by small-batch smoke
+    runs) made _pseudo_norm compute mean/std = 0/0 = NaN and poisoned the
+    whole loss, sisnr term or not (the reference's torch code shares the
+    hazard, ERB.py:254). The guarded ratio must keep loss AND gradients
+    finite, with and without the sisnr/asym terms."""
+    from aec_tpu.models.little_net import _pseudo_norm
+
+    params = little_net_init(jax.random.PRNGKey(3))
+    erb = jnp.asarray(erb_filterbank())
+    mic = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    ref = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    near = jnp.zeros((2, 4096), jnp.float32)
+
+    # the norm itself: all-zero tensor stays all-zero (ratio defined as 0)
+    assert np.isfinite(np.asarray(_pseudo_norm(near))).all()
+    np.testing.assert_array_equal(np.asarray(_pseudo_norm(near)), 0.0)
+    # ...and std>0 tensors are bit-identical to the unguarded formula
+    x = jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32))
+    ratio = jnp.mean(x) / jnp.sqrt(jnp.sum((x - jnp.mean(x)) ** 2) / (x.size - 1))
+    np.testing.assert_array_equal(np.asarray(_pseudo_norm(x)), np.asarray(x - ratio))
+
+    for kw in ({}, {"sisnr_weight": 0.4, "gain_norm": True, "asym_weight": 3.0}):
+        loss, _ = little_net_loss(
+            params, mic, ref, near, erb, sqrt_eps=1e-12, **kw
+        )
+        assert np.isfinite(float(loss))
+        g = jax.grad(
+            lambda p: little_net_loss(
+                p, mic, ref, near, erb, sqrt_eps=1e-12, **kw
+            )[0]
+        )(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
