@@ -143,7 +143,10 @@ def battery():
     from benchmarks.scenes import make_scenes
 
     s = make_scenes(np.random.default_rng(0), n=4 * 16384)
-    return {k: s[k] for k in ("speech_dtalk", "double_talk", "echo_only")}
+    return {
+        k: s[k]
+        for k in ("speech_dtalk", "double_talk", "echo_only", "path_change")
+    }
 
 
 def _two_stage_wav(params, far, mic, gain_norm=False):
@@ -172,16 +175,20 @@ def _erle_tail(mic, wav):
 def test_dtalk_speech_preservation_floors(battery):
     """Round-4 (VERDICT item 2): CI floors for the speech-preservation axis.
 
-    ``little_net_dtalk.npz`` is the asym-loss-trained checkpoint
-    (little_net_loss asym_weight=3 — the reference's commented-out
-    asymmetric term, ERB.py:184-198) run with the scale-sane ERB synthesis
-    (gain_norm=True; the reference's un-normalized back-projection makes
-    wav scale ill-defined for preservation masks — models/little_net.py).
-    Graded on-battery (checkpoint_quality_r4_gn.json): speech_dtalk STOI
-    0.7197 / SI-SNR +5.38 dB / from-spec PESQ 1.29 (vs 0.65 / -1.7 for the
-    round-3 general checkpoint), double_talk ERLE 45.2 dB, echo_only 56 dB.
-    Floors below carry safety margin; a retrain that trades near-end
-    speech for ERLE fails here."""
+    ``little_net_dtalk.npz`` is the preservation checkpoint: asym_weight=3
+    (the reference's commented-out asymmetric term, ERB.py:184-198) plus
+    the round-4 waveform SI-SNR term at sisnr_weight=0.2 (little_net_loss;
+    optimizes the deployed double-talk metric through gain_norm synthesis
+    — the w=0.2 sweep winner, w=0.5/1.0 regressed path_change/suppression),
+    run with the scale-sane ERB synthesis (gain_norm=True; the reference's
+    un-normalized back-projection makes wav scale ill-defined for
+    preservation masks — models/little_net.py). Graded on-battery
+    (checkpoint_quality_r4_gn.json; dtalk_v1 = the asym-only round-4
+    predecessor): speech_dtalk STOI 0.7299 / SI-SNR +5.40 dB, double_talk
+    ERLE 39.8 / SI-SNR -2.4, echo_only 55.3, path_change 82.2 (v1: 39.2),
+    nonlinear 61.9 (v1: 48.6), bulk_delay 80.2 (v1: 52.2). Floors below
+    carry safety margin; a retrain that trades near-end speech for ERLE
+    fails here."""
     from aec_tpu.train.metrics import si_snr
     from aec_tpu.train.stoi import stoi
 
@@ -196,6 +203,11 @@ def test_dtalk_speech_preservation_floors(battery):
     far, mic, _ = battery["echo_only"]
     wav = _two_stage_wav(params, far, mic, gain_norm=True)
     assert _erle_tail(mic, wav) > 45.0
+    # round-4 dtalk-v2: path_change was the sweep's discriminator (w=0.5
+    # collapsed it to 26.9 dB; v1 measured 39.2, shipped v2 82.2)
+    far, mic, _ = battery["path_change"]
+    wav = _two_stage_wav(params, far, mic, gain_norm=True)
+    assert _erle_tail(mic, wav) > 30.0
 
 
 @pytest.mark.skipif(not os.path.isfile(ROBUST), reason="checkpoint absent")
