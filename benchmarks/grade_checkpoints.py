@@ -9,11 +9,13 @@ reports:
   signal on scenes that have one (double talk) — the speech-preservation
   axis the reference's broken measure.py intended (measure.py:5).
 
-Prints one JSON line; round-4 artifact written to
-benchmarks/results/checkpoint_quality_r4.json (round-3 grades preserved at
-checkpoint_quality_r3.json). Round-4 adds an SI-SNR column on scenes with
-an active near end (the speech-preservation axis, verdict item 2).
-Runs fine on CPU (quality grading, not a benchmark).
+Prints one JSON line; the artifact (benchmarks/results/
+checkpoint_quality_r5[_gn].json; earlier rounds preserved under their own
+names) is MERGED, not overwritten: existing rows for other checkpoints
+survive a re-grade of one candidate (round-4 verdict item 7). Round-4
+added an SI-SNR column on scenes with an active near end (the
+speech-preservation axis). Runs fine on CPU (quality grading, not a
+benchmark).
 """
 
 from __future__ import annotations
@@ -95,11 +97,20 @@ def main() -> None:
     print(json.dumps(results))
     path = os.path.join(
         os.path.dirname(__file__), "results",
-        "checkpoint_quality_r4_gn.json" if gain_norm
-        else "checkpoint_quality_r4.json",
+        "checkpoint_quality_r5_gn.json" if gain_norm
+        else "checkpoint_quality_r5.json",
     )
-    with open(path, "w") as fh:
-        json.dump(results, fh, indent=1)
+    # merge-update + atomic replace: re-grading one candidate must not
+    # drop the other checkpoints' graded rows (round-4 verdict item 7)
+    merged = {}
+    if os.path.isfile(path):
+        with open(path) as fh:
+            merged = json.load(fh)
+    merged.update(results)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":
