@@ -45,6 +45,9 @@ def main(argv=None) -> None:
                    help="reference Tester pseudo-norm (ERB.py:254-256), applied "
                         "per utterance so each batched result equals a batch=1 "
                         "reference run; --no-normalize for the causal mode")
+    p.add_argument("--gain-norm", action="store_true",
+                   help="scale-sane ERB synthesis (models/little_net.py) — "
+                        "use for preservation-trained checkpoints")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--bucket", type=int, default=16384, help="length quantum")
     p.add_argument("--mesh", action="store_true")
@@ -68,6 +71,7 @@ def main(argv=None) -> None:
         return little_net_apply(
             params, lin, far, erb, scfg,
             normalize=args.normalize, per_utt_norm=True,
+            gain_norm=args.gain_norm,
         )["wav"]
 
     if args.mesh:

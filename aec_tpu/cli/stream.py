@@ -43,6 +43,10 @@ def main(argv=None) -> None:
                    help="causal running-stats pseudo-norm for checkpoints "
                         "trained with the reference's in-forward norm "
                         "(ERB.py:254-256); default off = causal raw mode")
+    p.add_argument("--gain-norm", action="store_true",
+                   help="scale-sane ERB synthesis (models/little_net.py) — "
+                        "use for preservation-trained checkpoints, e.g. "
+                        "little_net_dtalk.npz")
     p.add_argument("--sr", type=int, default=16000)
     args = p.parse_args(argv)
 
@@ -67,6 +71,7 @@ def main(argv=None) -> None:
     _, _ = stream_step(
         params, state, jnp.zeros((cfg.hop,)), jnp.zeros((cfg.hop,)), erb, cfg,
         stage1=args.stage1, lin_cfg=lin_cfg, normalize=args.normalize,
+        gain_norm=args.gain_norm,
     )
 
     outs, lat = [], []
@@ -77,13 +82,15 @@ def main(argv=None) -> None:
         state, out = stream_step(
             params, state, f, m, erb, cfg, stage1=args.stage1,
             lin_cfg=lin_cfg, normalize=args.normalize,
+            gain_norm=args.gain_norm,
         )
         out = np.asarray(out)  # force completion: this is the block latency
         lat.append(time.perf_counter() - t0)
         outs.append(out)
-    outs.append(
-        np.asarray(stream_flush(params, state, erb, cfg, normalize=args.normalize))
-    )
+    outs.append(np.asarray(stream_flush(
+        params, state, erb, cfg, normalize=args.normalize,
+        gain_norm=args.gain_norm,
+    )))
     wav = np.concatenate(outs)[cfg.hop :][:n]  # drop the trimmed left edge
     write_wav(args.out, wav.astype(np.float32), sr)
 

@@ -450,7 +450,7 @@ def nlms_block_step(cfg, l, tile, dots, consts, state, far_b, d_b,
 
 
 def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b,
-                      offsets=None):
+                      offsets=None, gain_norm=False):
     """One LittleNet frame step on batch-in-lanes refs.
 
     ``dots`` = (dot2, dot2_k1); ``consts`` = the 24-tuple from
@@ -463,6 +463,13 @@ def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b,
     from the whole analysis frame — the causal running pseudo-norm scalar
     (pipeline/streaming normalize=True). The prev rings keep the RAW
     blocks so the next step can subtract its own, newer scalar.
+
+    ``gain_norm``: the scale-sane ERB synthesis (see little_net_apply —
+    the reference's un-normalized back-projection at ERB.py:306-310 makes
+    the waveform scale ill-defined). One extra back-projection dot of the
+    UNMASKED magnitudes + a divide turns the gain into a per-bin convex
+    combination of the sigmoid mask; required by the preservation-trained
+    dtalk checkpoint's deployed semantics (round 4).
     """
     dot2, dot2_k1 = dots
     (ar_hi, ar_lo, ai_hi, ai_lo,
@@ -505,8 +512,11 @@ def stage2_frame_step(e_bands, hop, dots, consts, vecs, state, lin_b, far_b,
     l1 = jax.nn.relu(dot2(w1_hi, w1_lo, hid) + b1[:])  # (E, tile)
     mask = jax.nn.sigmoid(dot2(w2_hi, w2_lo, l1) + b2[:])
 
-    # un-normalized ERB back-projection applied to re & im (ERB.py:304-310)
+    # ERB back-projection applied to re & im (ERB.py:304-310);
+    # gain_norm divides by the unmasked back-projection (little_net_apply)
     gain = dot2(eb_hi, eb_lo, mask * me)  # (K, tile)
+    if gain_norm:
+        gain = gain / (dot2(eb_hi, eb_lo, me) + 1e-9)
     syn = dot2_k1(s2r_hi, s2r_lo, s2r_last, gain * sr) + dot2_k1(
         s2i_hi, s2i_lo, s2i_last, gain * si
     )  # (win, tile)

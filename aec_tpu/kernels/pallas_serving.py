@@ -142,7 +142,7 @@ def _norm_row(total, sumsq, count):
 
 
 def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize,
-            k_blocks):
+            k_blocks, gain_norm):
     hop = scfg.hop
     high = dot_mode == "high"
     s1_dots = bl.stage1_dots(dot_mode)
@@ -217,7 +217,7 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize,
             out_block, _mask = bl.stage2_frame_step(
                 e_bands, hop, s2_dots, s2c, vecs,
                 tuple(st[len(_S1) : len(_S1) + len(_S2)]), e_blk, far_b,
-                offsets=offsets,
+                offsets=offsets, gain_norm=gain_norm,
             )
             out_ref[0, u * hop : (u + 1) * hop] = out_block
 
@@ -228,7 +228,7 @@ def _kernel(kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize,
     jax.jit,
     static_argnames=(
         "kcfg", "scfg", "interpret", "dot_mode", "vmem_limit_mb", "stage1",
-        "normalize",
+        "normalize", "gain_norm",
     ),
     # the state updates in place (input_output_aliases); per-dispatch
     # callers passing state across the jit boundary must DONATE it or XLA
@@ -250,6 +250,7 @@ def serving_step_fused(
     vmem_limit_mb: int | None = 100,
     stage1: str = "kalman",
     normalize: bool = False,
+    gain_norm: bool = False,
 ) -> tuple[ServingState, jax.Array]:
     """k >= 1 16 ms hops for S streams -> (new_state, out (S, k*hop)).
 
@@ -276,6 +277,11 @@ def serving_step_fused(
     (for normalized-trained checkpoints) — per-stream mean/std scalars
     re-estimated from all samples seen, subtracted from each analysis
     frame; converges to the offline global pseudo-norm.
+
+    ``gain_norm``: the scale-sane ERB synthesis (bl_common
+    .stage2_frame_step) — lets the preservation-trained dtalk checkpoint
+    run with its deployed semantics on the serving runtime (round-4
+    verdict item 3); one extra back-projection dot per block.
     """
     if kcfg is None:
         kcfg = KalmanConfig() if stage1 == "kalman" else NlmsConfig()
@@ -313,7 +319,8 @@ def serving_step_fused(
     n_state = len(_KEYS)
     outs = pl.pallas_call(
         _kernel(
-            kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize, kb
+            kcfg, scfg, e_bands, tile, l, dot_mode, stage1, normalize, kb,
+            gain_norm,
         ),
         grid=(nt,),
         in_specs=[blk(kb * hop, tile), blk(kb * hop, tile)]

@@ -53,7 +53,8 @@ from aec_tpu.kernels import bl_common as bl
 from aec_tpu.kernels import precision as prec
 
 
-def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str, unroll: int):
+def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str, unroll: int,
+            gain_norm: bool):
     hop = cfg.hop
     high = dot_mode == "high"
     dots = (
@@ -81,7 +82,7 @@ def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str, unroll: int):
         for j in range(unroll):
             out_block, mask = bl.stage2_frame_step(
                 e_bands, hop, dots, consts, vecs, state,
-                lin_ref[0, 0, j], far_ref[0, 0, j],
+                lin_ref[0, 0, j], far_ref[0, 0, j], gain_norm=gain_norm,
             )
             mask_ref[0, 0, j] = mask
             out_ref[0, 0, j] = out_block
@@ -92,7 +93,8 @@ def _kernel(cfg: StftConfig, e_bands: int, dot_mode: str, unroll: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "interpret", "tile", "dot_mode", "vmem_limit_mb", "unroll"
+        "cfg", "interpret", "tile", "dot_mode", "vmem_limit_mb", "unroll",
+        "gain_norm",
     ),
 )
 def little_net_apply_fused(
@@ -107,6 +109,7 @@ def little_net_apply_fused(
     dot_mode: str = "default",
     vmem_limit_mb: int | None = 100,
     unroll: int = 4,
+    gain_norm: bool = False,
 ) -> jax.Array:
     """Fused stage-2: blocks in -> enhanced blocks (BATCH, Tb, hop).
 
@@ -114,7 +117,11 @@ def little_net_apply_fused(
     blocks past the flush frame; padded outputs are sliced off). Default 4
     — same-process slope A/B at 256 x 8.2 s: u1 5.95 / u2 5.42 / u4 5.20 /
     u8 5.67 ms (ab_balanced_time stage2_bl_*); outputs are bit-identical
-    across unrolls (interpret-mode verified)."""
+    across unrolls (interpret-mode verified).
+
+    ``gain_norm``: scale-sane ERB synthesis (bl_common.stage2_frame_step;
+    one extra back-projection dot per frame — measured ~neutral,
+    benchmarks/results/ab_gain_norm_r5.json)."""
     batch, t_blocks, hop = lin_blocks.shape
     assert hop == cfg.hop
     k = cfg.n_freqs
@@ -155,7 +162,7 @@ def little_net_apply_fused(
     )
 
     out, mask = pl.pallas_call(
-        _kernel(cfg, e_bands, dot_mode, unroll),
+        _kernel(cfg, e_bands, dot_mode, unroll, gain_norm),
         grid=(bt, t_steps),
         in_specs=[step, step]
         + [whole(*c.shape) for c in const_ops]
@@ -210,6 +217,7 @@ def little_net_apply_fused_wav(
     tile: int = 256,
     dot_mode: str = "default",
     unroll: int = 4,
+    gain_norm: bool = False,
 ) -> dict[str, jax.Array]:
     """Waveform-level fused stage-2, drop-in for little_net_apply's ``wav``.
 
@@ -230,5 +238,6 @@ def little_net_apply_fused_wav(
     out, mask = little_net_apply_fused(
         params, blocks(mic), blocks(ref), erb, cfg,
         interpret=interpret, tile=tile, dot_mode=dot_mode, unroll=unroll,
+        gain_norm=gain_norm,
     )
     return {"wav": out.reshape(out.shape[0], -1)[:, :n], "mask": mask}

@@ -58,7 +58,7 @@ from aec_tpu.kernels import precision as prec
 
 def _kernel(
     kcfg: KalmanConfig, scfg: StftConfig, e_bands: int, tile: int, l: int,
-    t_blocks: int, dot_mode: str, unroll: int,
+    t_blocks: int, dot_mode: str, unroll: int, gain_norm: bool,
 ):
     hop = scfg.hop
     high = dot_mode == "high"
@@ -116,6 +116,7 @@ def _kernel(
             out_block, mask = bl.stage2_frame_step(
                 e_bands, hop, s2_dots, s2c, vecs,
                 (h, tail, prev_lin, prev_far), lin_sc[:], far_b,
+                gain_norm=gain_norm,
             )
             mask_ref[0, u] = mask
             out_ref[0, u] = out_block
@@ -127,7 +128,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "kcfg", "scfg", "interpret", "tile", "dot_mode", "vmem_limit_mb",
-        "unroll",
+        "unroll", "gain_norm",
     ),
 )
 def two_stage_fused(
@@ -143,8 +144,12 @@ def two_stage_fused(
     dot_mode: str = "mixed",
     vmem_limit_mb: int | None = 100,
     unroll: int | None = None,
+    gain_norm: bool = False,
 ) -> dict[str, jax.Array]:
-    """Full two-stage AEC, one kernel: wavs in -> {wav, linear_wav, mask}."""
+    """Full two-stage AEC, one kernel: wavs in -> {wav, linear_wav, mask}.
+
+    ``gain_norm``: scale-sane ERB synthesis in stage 2 (see
+    bl_common.stage2_frame_step / little_net_apply)."""
     batch, n = far.shape
     assert n % scfg.hop == 0, "fused two-stage needs hop-multiple lengths"
     # stage-1 shares the stage-2 hop as its block; the DFT constant slicing
@@ -202,7 +207,8 @@ def two_stage_fused(
     )
 
     out, lin, mask = pl.pallas_call(
-        _kernel(kcfg, scfg, e_bands, tile, l, t_blocks, dot_mode, unroll),
+        _kernel(kcfg, scfg, e_bands, tile, l, t_blocks, dot_mode, unroll,
+                gain_norm),
         grid=(bt, t_alloc // unroll),
         in_specs=[step, step]
         + [whole(*c.shape) for c in s1_consts]

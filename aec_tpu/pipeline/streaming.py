@@ -109,8 +109,12 @@ def _stage2_frame(
     gru_h: jax.Array,  # (1, E)
     erb: jax.Array,
     cfg: StftConfig,
+    gain_norm: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """One analysis frame through LittleNet; returns (syn_frame, new_h)."""
+    """One analysis frame through LittleNet; returns (syn_frame, new_h).
+
+    ``gain_norm``: scale-sane ERB synthesis (models/little_net.py) —
+    divide the gain by the unmasked back-projection."""
     a = analysis_matrix(cfg, dtype=lin_frame.dtype)
     spec = lin_frame @ a  # (2K,)
     far_spec = far_frame @ a
@@ -126,6 +130,8 @@ def _stage2_frame(
     hid = jax.nn.relu(hid @ params["lin1"]["w"].T + params["lin1"]["b"])
     mask = jax.nn.sigmoid(hid @ params["lin2"]["w"].T + params["lin2"]["b"])
     gain = (mask * mic_erb) @ erb.T  # (K,)
+    if gain_norm:
+        gain = gain / (mic_erb @ erb.T + 1e-9)
     out_spec = jnp.concatenate([gain * spec[:k], gain * spec[k:]])
     syn = out_spec @ synthesis_matrix(cfg, dtype=spec.dtype)  # (win,)
     return syn, h
@@ -149,6 +155,7 @@ def _stream_step_core(
     lin_cfg,
     normalize: bool = False,
     quality: str = "parity",
+    gain_norm: bool = False,
 ) -> tuple[StreamState, jax.Array]:
     # Stage 1 (causal, block-native). Far frame -> ri spectrum via the DFT
     # basis matmul (overlap_save). ``quality`` is the same north-star knob
@@ -204,7 +211,9 @@ def _stream_step_core(
         far_frame = far_frame - _norm_scalar(
             norm["sum_far"], norm["sumsq_far"], count
         )
-    syn, h = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
+    syn, h = _stage2_frame(
+        params, lin_frame, far_frame, state["gru_h"], erb, cfg, gain_norm
+    )
 
     env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
     out_block = (state["syn_tail"] + syn[: cfg.hop]) / (env + 1e-8) + 1e-9
@@ -221,7 +230,10 @@ def _stream_step_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize", "quality")
+    jax.jit,
+    static_argnames=(
+        "cfg", "stage1", "lin_cfg", "normalize", "quality", "gain_norm"
+    ),
 )
 def stream_step(
     params: LittleNetParams,
@@ -235,6 +247,7 @@ def stream_step(
     lin_cfg=None,
     normalize: bool = False,
     quality: str = "parity",
+    gain_norm: bool = False,
 ) -> tuple[StreamState, jax.Array]:
     """Consume one hop of far/mic; emit one hop of enhanced audio.
 
@@ -251,13 +264,16 @@ def stream_step(
     )
     new_state, out = jax.vmap(
         lambda s, f, m: _stream_step_core(
-            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize, quality
+            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize, quality,
+            gain_norm,
         )
     )(state1, far1, mic1)
     return jax.tree.map(lambda a: a[0], new_state), out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "normalize"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "normalize", "gain_norm")
+)
 def stream_flush(
     params: LittleNetParams,
     state: StreamState,
@@ -265,6 +281,7 @@ def stream_flush(
     cfg: StftConfig = StftConfig(),
     *,
     normalize: bool = False,
+    gain_norm: bool = False,
 ) -> jax.Array:
     """End of stream: process the implicit trailing zero block (the offline
     path's right pad) and emit the final output block."""
@@ -280,7 +297,9 @@ def stream_flush(
             prev_far = prev_far - _norm_scalar(n["sum_far"], n["sumsq_far"], n["count"])
         lin_frame = jnp.concatenate([prev_lin, zero])
         far_frame = jnp.concatenate([prev_far, zero])
-        syn, _ = _stage2_frame(params, lin_frame, far_frame, state["gru_h"], erb, cfg)
+        syn, _ = _stage2_frame(
+            params, lin_frame, far_frame, state["gru_h"], erb, cfg, gain_norm
+        )
         env = jnp.asarray(_env_period(cfg), dtype=syn.dtype)
         return (state["syn_tail"] + syn[: cfg.hop]) / (env + 1e-8) + 1e-9
 
@@ -305,7 +324,10 @@ def stream_init_batched(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "stage1", "lin_cfg", "normalize", "quality")
+    jax.jit,
+    static_argnames=(
+        "cfg", "stage1", "lin_cfg", "normalize", "quality", "gain_norm"
+    ),
 )
 def stream_step_batched(
     params: LittleNetParams,
@@ -319,6 +341,7 @@ def stream_step_batched(
     lin_cfg=None,
     normalize: bool = False,
     quality: str = "parity",
+    gain_norm: bool = False,
 ) -> tuple[StreamState, jax.Array]:
     """One 16 ms hop for MANY concurrent streams (the serving hot loop).
 
@@ -331,7 +354,8 @@ def stream_step_batched(
     """
     return jax.vmap(
         lambda s, f, m: _stream_step_core(
-            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize, quality
+            params, s, f, m, erb, cfg, stage1, lin_cfg, normalize, quality,
+            gain_norm,
         )
     )(state, far_block, mic_block)
 
@@ -348,6 +372,7 @@ def stream_run(
     erb_bands: int = 32,
     normalize: bool = False,
     quality: str = "parity",
+    gain_norm: bool = False,
 ) -> np.ndarray:
     """Host convenience: run a whole utterance hop-by-hop (n % hop == 0)."""
     state = stream_init(erb_bands, cfg, stage1=stage1, lin_cfg=lin_cfg)
@@ -364,8 +389,11 @@ def stream_run(
             lin_cfg=lin_cfg,
             normalize=normalize,
             quality=quality,
+            gain_norm=gain_norm,
         )
         outs.append(np.asarray(out))
-    outs.append(np.asarray(stream_flush(params, state, erb, cfg, normalize=normalize)))
+    outs.append(np.asarray(stream_flush(
+        params, state, erb, cfg, normalize=normalize, gain_norm=gain_norm
+    )))
     # the first emitted block is the offline path's trimmed left edge — drop it
     return np.concatenate(outs)[cfg.hop :]

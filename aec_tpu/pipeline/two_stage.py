@@ -113,9 +113,11 @@ def two_stage_cancel(
 
     ``gain_norm`` opts into the scale-sane ERB synthesis (see
     little_net_apply — the reference's un-normalized back-projection makes
-    the wav scale ill-defined for preservation-trained masks). It routes
-    through the XLA apply (the fused stage-2 kernels bake the reference
-    synthesis); recommended for the asym-trained dtalk checkpoint.
+    the wav scale ill-defined for preservation-trained masks). Supported on
+    EVERY route since round 5 (fused stage-2 + single two-stage kernels
+    carry it as one extra back-projection dot per frame, measured ~neutral
+    — ab_gain_norm_r5.json); recommended for the asym-trained dtalk
+    checkpoint.
 
     Returns dict with ``wav`` (final), ``linear_wav`` (stage-1 output), and
     the stage-2 ``mask``.
@@ -127,7 +129,7 @@ def two_stage_cancel(
     )
     p2 = jax.lax.Precision.DEFAULT if fast else stage2_precision
     q1 = "fast" if fast else quality
-    if far.ndim == 2 and not gain_norm and _route_single_kernel(
+    if far.ndim == 2 and _route_single_kernel(
         backend=jax.default_backend(), stage1=stage1, lin_cfg=lin_cfg,
         fast_legacy=fast, quality=q1, normalize=normalize, p2=p2, scfg=scfg,
         n=far.shape[-1],
@@ -137,7 +139,8 @@ def two_stage_cancel(
         from aec_tpu.kernels.pallas_two_stage import two_stage_fused
 
         return two_stage_fused(
-            params, far, mic, erb, kcfg=lin_cfg or KalmanConfig(), scfg=scfg
+            params, far, mic, erb, kcfg=lin_cfg or KalmanConfig(), scfg=scfg,
+            gain_norm=gain_norm,
         )
     if stage1 == "kalman":
         lin = kalman_cancel(
@@ -164,7 +167,6 @@ def two_stage_cancel(
     # frame count differs).
     if (
         jax.default_backend() == "tpu"
-        and not gain_norm  # fused stage-2 bakes the reference synthesis
         and p2 == jax.lax.Precision.DEFAULT
         and lw.shape[-1] % scfg.hop == 0
         # the fused kernel assumes the default 2x-overlap geometry; other
@@ -176,7 +178,8 @@ def two_stage_cancel(
         from aec_tpu.kernels.pallas_stage2 import little_net_apply_fused_wav
 
         out = little_net_apply_fused_wav(
-            params, lw, fw, erb, scfg, normalize=normalize
+            params, lw, fw, erb, scfg, normalize=normalize,
+            gain_norm=gain_norm,
         )
     else:
         out = little_net_apply(

@@ -85,3 +85,30 @@ def test_two_stage_cpu_keeps_xla_paths(rng):
     assert out["wav"].shape == far.shape
     # the stage-1 auto route stays scan on CPU (kernel path returns state=None)
     assert kalman_cancel(KalmanConfig(), far, mic)["state"] is not None
+
+
+def test_two_stage_fused_gain_norm_matches_composition(rng):
+    """Single-kernel route with gain_norm == the XLA composition with
+    gain_norm (CPU backend keeps two_stage_cancel off the kernels)."""
+    params = little_net_init(jax.random.PRNGKey(9))
+    erb = jnp.asarray(erb_filterbank())
+    b, n = 2, 16 * 256
+    far = rng.standard_normal((b, n)).astype(np.float32)
+    rir = (np.exp(-np.arange(300) / 60.0) * rng.standard_normal(300)).astype(
+        np.float32
+    )
+    mic = np.stack(
+        [np.convolve(far[i], 0.4 * rir)[:n] for i in range(b)]
+    ).astype(np.float32)
+    want = two_stage_cancel(
+        params, jnp.asarray(far), jnp.asarray(mic), erb, normalize=False,
+        gain_norm=True,
+    )
+    got = two_stage_fused(
+        params, jnp.asarray(far), jnp.asarray(mic), erb,
+        interpret=True, tile=2, dot_mode="high", gain_norm=True,
+    )
+    for key in ("wav", "linear_wav"):
+        w, g = np.asarray(want[key]), np.asarray(got[key])
+        scale = max(float(np.abs(w).max()), 1e-9)
+        np.testing.assert_allclose(g, w, atol=2e-3 * scale, err_msg=key)
