@@ -1,6 +1,17 @@
 """Benchmark suite driver: every BASELINE config as one JSON line each,
 headline (two-stage xRT per chip) printed LAST with a 3-run spread.
 
+Round-5 hardening (VERDICT r4 item 1 — the round-4 driver run timed out
+at rc=124 with no headline of record): a 1-rep QUICK headline is printed
+FIRST (so a killed run still has a two_stage_xrt_per_chip line on
+stdout), every completed line is PERSISTED to
+``benchmarks/results/bench_live.jsonl`` as it finishes (a killed run
+leaves its completed configs in the repo for the round snapshot), the
+suite runs high-value configs first (5,6,7,8 — the ones round 4 lost),
+and the suite budget is dynamic: it reserves headline time out of a
+TOTAL_BUDGET_S envelope sized with >=25% margin under the observed
+driver timeout.
+
 Runs the flagship pipeline — stage-1 partitioned-block frequency-domain
 Kalman + stage-2 LittleNet post-filter — over batches of 16 kHz utterances
 on one chip, plus the full config suite (benchmarks/baseline_configs.py):
@@ -39,11 +50,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Skip remaining configs past this point (the headline ALWAYS runs after).
-# 48 min: the full warm-cache suite measures ~35 min; round-4 adds ~4
-# compile shapes to config #6 (hardened 4-point slope, both serving paths)
-# and 2 to config #5 (slope-timed production two_stage_cancel route).
-SUITE_BUDGET_S = 48 * 60
+# Total stdout envelope for quick headline + suite + final headline.
+# The round-4 driver killed bench.py somewhere past ~45-50 min (rc=124
+# after config #5 on a cold remote-compile cache); 40 min leaves >=25%
+# margin under a 55-60 min external timeout. The suite budget is derived
+# from this minus elapsed minus a reserve for the final headline.
+TOTAL_BUDGET_S = 40 * 60
+HEADLINE_RESERVE_S = 7 * 60  # final full-spread headline, warm cache
+PERSIST_PATH = "benchmarks/results/bench_live.jsonl"
+
+
+def _persist(line: dict) -> None:
+    """Append one result line to the live artifact (survives a kill)."""
+    try:
+        import os
+
+        os.makedirs(os.path.dirname(PERSIST_PATH), exist_ok=True)
+        with open(PERSIST_PATH, "a") as f:
+            f.write(json.dumps(line) + "\n")
+    except OSError:
+        pass  # persistence must never kill the bench run
+
+
+def emit(line: dict) -> None:
+    print(json.dumps(line), flush=True)
+    _persist(line)
 
 
 def headline(reps: int = 5, quality: str = "parity") -> dict:
@@ -124,27 +155,32 @@ def headline(reps: int = 5, quality: str = "parity") -> dict:
     }
 
 
-def run_suite(configs: str, small: bool) -> dict:
-    """Run benchmarks.baseline_configs configs; returns {id: result|error}."""
+def run_suite(configs: str, small: bool, deadline: float | None = None) -> dict:
+    """Run benchmarks.baseline_configs configs; returns {id: result|error}.
+
+    ``deadline`` is an absolute time.monotonic() cutoff: configs not yet
+    STARTED by then are skipped (the final headline must still fit).
+    """
     from benchmarks.baseline_configs import BENCHES
 
-    t_start = time.monotonic()
     suite = {}
     for c in configs.split(","):
         c = c.strip()
         if not c:
             continue
-        if time.monotonic() - t_start > SUITE_BUDGET_S:
+        if deadline is not None and time.monotonic() > deadline:
             suite[c] = {"skipped": "suite time budget exceeded"}
-            print(json.dumps({"config": c, **suite[c]}), flush=True)
+            emit({"config": c, **suite[c]})
             continue
+        t0 = time.monotonic()
         try:
             r = BENCHES[c](small=small)
+            r["t_s"] = round(time.monotonic() - t0, 1)
             suite[c] = r
-            print(json.dumps(r), flush=True)
+            emit(r)
         except Exception as e:  # noqa: BLE001 - one config must not kill the run
             suite[c] = {"error": f"{type(e).__name__}: {e}"[:200]}
-            print(json.dumps({"config": c, **suite[c]}), flush=True)
+            emit({"config": c, **suite[c]})
     return suite
 
 
@@ -227,7 +263,10 @@ def check(routing_only: bool = False) -> int:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,2,3,4,5,6,7,8")
+    # high-value configs (5 two-stage, 6 serving, 7 training, 8 zoo —
+    # the rows the round-4 timeout lost) run FIRST; the cheap singles
+    # last so a budget skip costs the least-informative rows
+    p.add_argument("--configs", default="5,6,7,8,4,1,2,3")
     p.add_argument("--small", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--routing-only", action="store_true",
@@ -240,13 +279,22 @@ def main(argv=None) -> None:
     if args.check:
         raise SystemExit(check(routing_only=args.routing_only))
 
+    t0 = time.monotonic()
+    # QUICK headline first: a killed run still has the round's metric on
+    # stdout and in the live artifact (it also pre-warms the exact
+    # compile shapes the final full-spread headline needs)
+    quick = headline(reps=1)
+    quick["phase"] = "quick"
+    emit(quick)
+
     suite = {}
     if not args.headline_only:
-        suite = run_suite(args.configs, args.small)
+        deadline = t0 + TOTAL_BUDGET_S - HEADLINE_RESERVE_S
+        suite = run_suite(args.configs, args.small, deadline=deadline)
     if args.quality:
         fast = headline(reps=3, quality="fast")
         suite["headline_fast"] = fast
-        print(json.dumps(fast), flush=True)
+        emit(fast)
 
     head = headline()
     # compact per-config summary embedded in the (last) headline line
@@ -256,10 +304,12 @@ def main(argv=None) -> None:
         else v
         for k, v in suite.items()
     }
-    print(json.dumps(head), flush=True)
+    head["t_total_s"] = round(time.monotonic() - t0, 1)
+    emit(head)
 
 
 if __name__ == "__main__":
+    _persist({"run_start": time.strftime("%Y-%m-%dT%H:%M:%S")})
     # the axon remote-compile tunnel intermittently fails fresh compiles
     # with UNIMPLEMENTED; compiled programs are cached, so a retry succeeds.
     last_err = None
