@@ -52,25 +52,40 @@ def _kaiming_uniform(key, shape, gain: float, dtype):
 
 
 def little_net_init(
-    key: jax.Array, erb_bands: int = 32, dtype=jnp.float32
+    key: jax.Array, erb_bands: int = 32, dtype=jnp.float32, width: int = 1
 ) -> LittleNetParams:
     """Init mirroring the reference policy (ERB.py:227-250):
 
     orthogonal GRU weights; linear1 kaiming-uniform with ReLU gain sqrt(2);
     linear2 kaiming-uniform with sigmoid gain 1.0; zero linear biases.
+
+    ``width`` scales the GRU hidden/lin1 dims (hidden = width * erb_bands;
+    the mask output stays erb_bands). ``width=1`` is the reference's exact
+    12,544-param geometry; 2/4 are the round-5 capacity-ceiling experiment
+    (33,248 / 99,232 params — VERDICT r4 item 5). ``little_net_apply`` derives
+    every shape from the params, so wider checkpoints run the same forward
+    (the fused Pallas kernels are width-1 only; routing guards on it).
     """
     k_gru, k1, k2 = jax.random.split(key, 3)
+    hidden = width * erb_bands
     return LittleNetParams(
-        gru=gru_init(k_gru, 2 * erb_bands, erb_bands, orthogonal=True, dtype=dtype),
+        gru=gru_init(k_gru, 2 * erb_bands, hidden, orthogonal=True, dtype=dtype),
         lin1=LinearParams(
-            w=_kaiming_uniform(k1, (erb_bands, 2 * erb_bands), np.sqrt(2.0), dtype),
-            b=jnp.zeros((erb_bands,), dtype),
+            w=_kaiming_uniform(
+                k1, (hidden, hidden + erb_bands), np.sqrt(2.0), dtype
+            ),
+            b=jnp.zeros((hidden,), dtype),
         ),
         lin2=LinearParams(
-            w=_kaiming_uniform(k2, (erb_bands, erb_bands), 1.0, dtype),
+            w=_kaiming_uniform(k2, (erb_bands, hidden), 1.0, dtype),
             b=jnp.zeros((erb_bands,), dtype),
         ),
     )
+
+
+def little_net_width(params: LittleNetParams, erb_bands: int = 32) -> int:
+    """Width multiplier of a (possibly widened) LittleNet param tree."""
+    return params["gru"]["w_hh"].shape[-1] // erb_bands
 
 
 def _pseudo_norm(x: jax.Array, per_utt: bool = False) -> jax.Array:

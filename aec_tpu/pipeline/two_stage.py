@@ -129,7 +129,11 @@ def two_stage_cancel(
     )
     p2 = jax.lax.Precision.DEFAULT if fast else stage2_precision
     q1 = "fast" if fast else quality
-    if far.ndim == 2 and _route_single_kernel(
+    # the fused kernels bake the reference's width-1 LittleNet geometry
+    # (GRU hidden == erb bands); widened checkpoints (little_net_init
+    # width>1, the round-5 capacity experiment) take the XLA apply
+    std_width = params["gru"]["w_hh"].shape[-1] == erb.shape[-1]
+    if far.ndim == 2 and std_width and _route_single_kernel(
         backend=jax.default_backend(), stage1=stage1, lin_cfg=lin_cfg,
         fast_legacy=fast, quality=q1, normalize=normalize, p2=p2, scfg=scfg,
         n=far.shape[-1],
@@ -167,6 +171,7 @@ def two_stage_cancel(
     # frame count differs).
     if (
         jax.default_backend() == "tpu"
+        and std_width
         and p2 == jax.lax.Precision.DEFAULT
         and lw.shape[-1] % scfg.hop == 0
         # the fused kernel assumes the default 2x-overlap geometry; other

@@ -6,6 +6,13 @@ step measures ~0.227 ms/block against a 0.139 ms state-bandwidth floor
 (docs/ROOFLINE.md); the fused kernel (kernels/pallas_serving.py) pipelines
 each stream-tile's state DMA against the previous tile's compute.
 
+Round-5 hardening (VERDICT r4 item 2 — the round-3 artifact said fused
+1.6x FASTER, the round-4 suite said 1.65x SLOWER, both plausibly tunnel
+noise): the slope is now the same least-squares form as the driver's
+config #6 — >=4 k values x >=5 reps, sub-floor readings rejected and
+re-measured — and the run writes ``benchmarks/results/ab_serving_r5.json``
+as the decisive same-process record.
+
 Usage: python -m benchmarks.ab_serving [filters]
 """
 
@@ -28,29 +35,53 @@ from aec_tpu.pipeline.streaming import _stream_step_core, stream_init_batched
 
 S = 1024
 HOP = 256
-KS = (8, 32)
+KS = (4, 16, 28, 40)
+REPS = 5
+# per-stream serving state that must round-trip HBM every block (see
+# docs/ROOFLINE.md §serving); sub-floor slopes are measurement failures
+STATE_BYTES_PER_STREAM = 55_648
+V5E_HBM_BYTES_PER_S = 819e9
+ARTIFACT = "benchmarks/results/ab_serving_r5.json"
 
 
-def slope(fn, state, key, reps=3, cols=HOP):
+def slope(fn, state, key, reps=REPS, cols=HOP):
+    """Least-squares per-dispatch slope over KS, median of reps each.
+
+    Distinct on-device buffers per rep + scalar readback (CLAUDE.md relay
+    rules); a slope under 95% of the state-bandwidth floor (scaled by the
+    queued-block count cols/HOP) is re-measured up to 3x and clamped."""
+    floor_s = 0.0
+    if jax.default_backend() == "tpu":
+        floor_s = (2.0 * S * STATE_BYTES_PER_STREAM / V5E_HBM_BYTES_PER_S
+                   ) * (cols / HOP)
+
     @partial(jax.jit, static_argnums=1)
     def gen(k_, k):
         return jax.random.normal(k_, (k, 2, S, cols), jnp.float32)
 
-    med = {}
-    for k in KS:
-        bufs = [gen(jax.random.fold_in(key, 10 * k + r), k) for r in range(reps + 1)]
-        jax.block_until_ready(bufs)
-        float(fn(state, bufs[-1]))
-        ts = []
-        for b in bufs[:-1]:
-            t0 = time.perf_counter()
-            float(fn(state, b))
-            ts.append(time.perf_counter() - t0)
-        med[k] = float(np.median(ts))
-    per = (med[KS[1]] - med[KS[0]]) / (KS[1] - KS[0])
-    if per < 20e-6:  # slope below timer noise / negative under tunnel
-        per = med[KS[1]] / KS[1]  # conservative all-inclusive fallback
-    return per
+    raw = None
+    for attempt in range(3):
+        meds = []
+        for k in KS:
+            bufs = [
+                gen(jax.random.fold_in(key, 1000 * attempt + 10 * k + r), k)
+                for r in range(reps + 1)
+            ]
+            jax.block_until_ready(bufs)
+            float(fn(state, bufs[-1]))
+            ts = []
+            for b in bufs[:-1]:
+                t0 = time.perf_counter()
+                float(fn(state, b))
+                ts.append(time.perf_counter() - t0)
+            meds.append(float(np.median(ts)))
+        per = float(np.polyfit(KS, meds, 1)[0])
+        raw = per if raw is None else min(raw, per)
+        if per >= max(floor_s * 0.95, 20e-6):
+            return per
+    if raw < 20e-6:  # timer-noise regime
+        return meds[-1] / KS[-1]
+    return max(raw, floor_s)
 
 
 def main() -> None:
@@ -140,6 +171,19 @@ def main() -> None:
           lambda: fused_chunked(128, "balanced", 10, 32))
 
     print(json.dumps(results))
+    if not only and jax.default_backend() == "tpu":
+        # full run on the real chip = the decisive same-process record
+        floor_ms = round(
+            2.0 * S * STATE_BYTES_PER_STREAM / V5E_HBM_BYTES_PER_S * 1e3, 3
+        )
+        payload = {"slope": {"ks": list(KS), "reps": REPS},
+                   "streams": S, "floor_ms": floor_ms, **results}
+        import os
+
+        os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+        with open(ARTIFACT, "w") as f:
+            json.dump(payload, f, indent=1)
+        print("wrote", ARTIFACT, flush=True)
 
 
 if __name__ == "__main__":

@@ -61,8 +61,13 @@ def main() -> None:
     for name, path in ckpts.items():
         if not os.path.isfile(path):
             continue
+        # template width inferred from the stored GRU recurrent matrix
+        # (3H, H) so widened round-5 checkpoints restore cleanly
+        with np.load(path) as z:
+            h = z["['params']['gru']['w_hh']"].shape[-1]
         params = checkpoints.restore(
-            path, {"params": little_net_init(jax.random.PRNGKey(0))}
+            path,
+            {"params": little_net_init(jax.random.PRNGKey(0), width=h // 32)},
         )["params"]
         rows = {}
         for scene, (far, mic, near) in scenes.items():

@@ -166,6 +166,13 @@ def main() -> None:
         "over-suppression (little_net_loss asym_weight)",
     )
     p.add_argument(
+        "--width", type=int, default=1,
+        help="GRU width multiplier (little_net_init width=): 1 is the "
+        "reference's 12,544-param geometry; 2/4 (33k/99k params) are the "
+        "round-5 preservation-vs-suppression capacity experiment. Wider "
+        "checkpoints run the XLA apply (fused kernels are width-1)",
+    )
+    p.add_argument(
         "--sisnr", type=float, default=0.0,
         help="weight of the waveform-domain SI-SNR speech-preservation "
         "term (little_net_loss sisnr_weight): optimizes the deployed "
@@ -186,7 +193,7 @@ def main() -> None:
     n = int(args.seconds * 16000) // 256 * 256
     scfg, kcfg = StftConfig(), KalmanConfig()
     scenes = make_scene_fn(n)
-    params = little_net_init(jax.random.PRNGKey(args.seed))
+    params = little_net_init(jax.random.PRNGKey(args.seed), width=args.width)
     erb = jnp.asarray(erb_filterbank())
     opt = optax.chain(
         optax.clip_by_global_norm(5.0),

@@ -206,3 +206,33 @@ def test_all_silent_near_batch_is_finite(rng):
         )(params)
         for leaf in jax.tree.leaves(g):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_widened_little_net(rng):
+    """Round-5 capacity experiment (VERDICT r4 item 5): little_net_init
+    width=2/4 scales the GRU hidden + lin1 dims (33,248 / 99,232 params),
+    the forward/loss run unchanged (shapes derived from params), width=1
+    stays the reference's exact 12,544-param geometry, and the widened
+    two_stage_cancel path (XLA apply — the fused kernels are width-1)
+    produces a mask over the same 32 ERB bands."""
+    from aec_tpu.models.little_net import little_net_width, param_count
+    from aec_tpu.pipeline.two_stage import two_stage_cancel
+
+    erb = jnp.asarray(erb_filterbank())
+    mic = jnp.asarray(0.1 * rng.standard_normal((2, 4096)).astype(np.float32))
+    counts = {1: 12_544, 2: 33_248, 4: 99_232}
+    for w, want in counts.items():
+        params = little_net_init(jax.random.PRNGKey(0), width=w)
+        assert param_count(params) == want
+        assert little_net_width(params) == w
+        out = little_net_apply(params, mic, mic, erb, gain_norm=True)
+        assert out["wav"].shape == mic.shape
+        assert out["mask"].shape[-1] == 32
+        loss, _ = little_net_loss(
+            params, mic, mic, mic, erb, sqrt_eps=1e-12,
+            asym_weight=3.0, sisnr_weight=0.2, gain_norm=True,
+        )
+        assert np.isfinite(float(loss))
+    wide = little_net_init(jax.random.PRNGKey(0), width=4)
+    out = two_stage_cancel(wide, mic, mic, erb, gain_norm=True)
+    assert out["wav"].shape == mic.shape
