@@ -63,17 +63,23 @@ def slope(fn, state, key, reps=REPS, cols=HOP):
     for attempt in range(3):
         meds = []
         for k in KS:
-            bufs = [
-                gen(jax.random.fold_in(key, 1000 * attempt + 10 * k + r), k)
-                for r in range(reps + 1)
-            ]
-            jax.block_until_ready(bufs)
-            float(fn(state, bufs[-1]))
+            # buffers are generated ONE AT A TIME (distinct per rep for the
+            # relay-memoization rule) — materializing all reps at once OOMs
+            # HBM for the chunked variants ((40,2,1024,8192) f32 = 2.7 GB
+            # each; 6 live = 16 GB > the v5e's HBM)
+            def buf(r):
+                b = gen(jax.random.fold_in(key, 1000 * attempt + 10 * k + r), k)
+                jax.block_until_ready(b)
+                return b
+
+            float(fn(state, buf(reps)))  # compile + warmup per shape
             ts = []
-            for b in bufs[:-1]:
+            for r in range(reps):
+                b = buf(r)
                 t0 = time.perf_counter()
                 float(fn(state, b))
                 ts.append(time.perf_counter() - t0)
+                del b
             meds.append(float(np.median(ts)))
         per = float(np.polyfit(KS, meds, 1)[0])
         raw = per if raw is None else min(raw, per)

@@ -149,8 +149,10 @@ def test_two_stage_quality_reaches_stage1(rng, monkeypatch):
     # the stage-2 fused kernel cannot run on CPU; route it to the XLA apply
     monkeypatch.setattr(
         ps2, "little_net_apply_fused_wav",
-        lambda params, lw, fw, erb, scfg, normalize=False: little_net_apply(
-            params, lw, fw, erb, scfg, normalize=normalize
+        lambda params, lw, fw, erb, scfg, normalize=False, gain_norm=False:
+        little_net_apply(
+            params, lw, fw, erb, scfg, normalize=normalize,
+            gain_norm=gain_norm,
         ),
     )
     # batched quality='fast' routes the WHOLE pipeline to the single kernel
