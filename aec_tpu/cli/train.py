@@ -43,6 +43,15 @@ def main(argv=None) -> None:
                         "gets a best_<metric>.npz slot — the working version "
                         "of the reference's dead validate_conf "
                         "(configs.py:49-57). Supported by every family.")
+    p.add_argument("--device_cache", type=str, default="",
+                   choices=("", "int16", "bfloat16", "float32"),
+                   help="cache the WHOLE corpus in device memory and scan "
+                        "each epoch in one dispatch (little_net/"
+                        "two_layer_gru families; pipeline/device_cache.py). "
+                        "int16 is the native precision of recorded corpora; "
+                        "use when the host->device link, not the chip, "
+                        "bounds the step (reference scale on this image: "
+                        "~2 s/step host loader vs ~3 ms cached)")
     args = p.parse_args(argv)
     logger.info("Arguments:\n%s", pprint.pformat(vars(args)))
 
@@ -64,6 +73,12 @@ def main(argv=None) -> None:
         lr=args.lr, batch_size=args.batch_size, max_n_epochs=args.max_n_epochs
     )
     if args.model not in ("little_net", "two_layer_gru"):
+        if args.device_cache:
+            p.error(
+                "--device_cache supports the reference-cadence families "
+                "(little_net, two_layer_gru); the stateful trainer keeps "
+                "the host loader"
+            )
         from aec_tpu.train.generic import GenericTrainer
 
         GenericTrainer(
@@ -98,6 +113,7 @@ def main(argv=None) -> None:
         validate_metrics=tuple(
             m for m in args.validate_metrics.split(",") if m
         ),
+        device_cache=args.device_cache,
     )
     trainer.train()
 

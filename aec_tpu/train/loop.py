@@ -183,6 +183,14 @@ class Trainer:
     # declared there, never computed, train1.py:341-346). Each metric gets a
     # best_<metric>.npz slot; higher is better.
     validate_metrics: tuple[str, ...] = ()
+    # "" (host loader, reference loop shape) or "int16"/"bfloat16"/"float32":
+    # cache the ENTIRE corpus in device memory and scan a whole epoch of
+    # steps in one dispatch (pipeline/device_cache.py — at reference scale
+    # the host loop is tunnel-upload-bound at ~2 s/step on this image vs
+    # ~3 ms of device time). Identical update math, cadence, and shuffle
+    # stream; single-host only; validate_metrics unsupported (wav readback
+    # would reintroduce the transfer bound).
+    device_cache: str = ""
 
     def __post_init__(self):
         # once-per-epoch validation/checkpoint cadence (train1.py:105)
@@ -201,6 +209,16 @@ class Trainer:
     def train(self) -> dict:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         logger = get_logger(os.path.join(self.ckpt_dir, "train.log"), log_file=True)
+
+        if self.device_cache:
+            if self.use_mesh:
+                raise ValueError("device_cache is single-host/single-chip")
+            if self.validate_metrics:
+                raise ValueError(
+                    "validate_metrics need per-utterance wav readback — "
+                    "use the host loader (device_cache='')"
+                )
+            return self._train_cached(logger)
 
         mesh = make_mesh() if self.use_mesh else None
         # multi-host: each process loads a disjoint shard of the file list at
@@ -366,6 +384,210 @@ class Trainer:
                         )
                     )
                     accu_loss, accu_frames = 0.0, 0
+            ckpt_info["cur_epoch"] += 1
+        return {"params": params, "opt_state": opt_state, "ckpt_info": ckpt_info}
+
+    def _train_cached(self, logger) -> dict:
+        """Device-resident-corpus training: one dispatch per EPOCH.
+
+        Same update math, optimizer schedule, shuffle stream
+        (np.default_rng(seed), one shuffle per epoch — TrainLoader's
+        stream), per-epoch validation and latest/best checkpointing as
+        the host-loader loop; the difference is purely mechanical: the
+        corpus lives in HBM (pipeline/device_cache.py) and the epoch's
+        steps run inside one ``lax.scan`` so neither the ~15 MB/s tunnel
+        upload nor the ~25 ms per-dispatch round trip is on the step
+        path. cv loss is scanned at batch 1 on the cached cv set —
+        numerically the host validate() (uniform-length corpus)."""
+        import json as _json
+        from functools import partial
+
+        import numpy as np
+
+        from aec_tpu.pipeline import device_cache as dc
+
+        cfg = self.cfg
+        t_load0 = time.perf_counter()
+        logger.info(
+            "device_cache=%s: caching %d train files + cv on device",
+            self.device_cache, len(self.tr_list),
+        )
+        corpus = dc.from_files(
+            self.tr_list,
+            dtype=self.device_cache,
+            bucket_quantum=self.bucket_quantum,
+            progress=lambda i, n: logger.info("  cached %d/%d", i, n),
+        )
+        cv = dc.from_grouped(
+            self.cv_file,
+            dtype=self.device_cache,
+            bucket_quantum=self.bucket_quantum,
+        )
+        t_load = time.perf_counter() - t_load0
+        logger.info(
+            "corpus resident: %d x %d (%s) in %.1f s",
+            corpus.n_utts, corpus.arrays[dc.CACHE_KEYS[0]].shape[1],
+            self.device_cache, t_load,
+        )
+
+        params = self.init_fn(jax.random.PRNGKey(cfg.seed))
+        erb = jnp.asarray(
+            erb_filterbank(self.scfg.n_freqs, 16000, self.erb_bands)
+        )
+        steps_per_epoch = max(corpus.n_utts // cfg.batch_size, 1)
+        optimizer = make_optimizer(cfg, steps_per_epoch)
+        opt_state = optimizer.init(params)
+        logger.info(
+            "Trainable parameter count: {:,d} -> {:.2f} MB".format(
+                num_params(params), num_params(params) * 4 / 2**20
+            )
+        )
+
+        dtype = self.device_cache
+        scales = [corpus.scales[k] for k in dc.CACHE_KEYS]
+        cv_scales = [cv.scales[k] for k in dc.CACHE_KEYS]
+        loss_fn, scfg = self.loss_fn, self.scfg
+
+        # resident arrays are threaded as ARGUMENTS (closures would bake
+        # gigabytes into the program as constants — the axon HTTP 413 trap)
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, mic_c, ref_c, near_c, idx, erb):
+            def body(carry, ib):
+                p, o = carry
+                mic, ref, near = (
+                    dc.dequant(jnp.take(a, ib, axis=0), dtype, s)
+                    for a, s in zip((mic_c, ref_c, near_c), scales)
+                )
+
+                def lf(pp):
+                    loss, _ = loss_fn(
+                        pp, mic, ref, near, erb, scfg, sqrt_eps=1e-12
+                    )
+                    return loss
+
+                loss, grads = jax.value_and_grad(lf)(p)
+                updates, o = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), idx
+            )
+            return params, opt_state, losses
+
+        @jax.jit
+        def cv_fn(params, mic_c, ref_c, near_c, idx, erb):
+            def body(_, ib):
+                mic, ref, near = (
+                    dc.dequant(jnp.take(a, ib, axis=0), dtype, s)
+                    for a, s in zip((mic_c, ref_c, near_c), cv_scales)
+                )
+                loss, _ = loss_fn(params, mic, ref, near, erb, scfg)
+                return None, loss
+
+            return jax.lax.scan(body, None, idx)[1]
+
+        ckpt_info = {
+            "cur_epoch": 0,
+            "cur_iter": 0,
+            "tr_loss": None,
+            "cv_loss": None,
+            "best_loss": float("inf"),
+        }
+        if self.resume_model:
+            template = {"params": params, "opt_state": opt_state}
+            restored = checkpoints.restore(self.resume_model, template)
+            params, opt_state = restored["params"], restored["opt_state"]
+            ckpt_info.update(checkpoints.load_info(self.resume_model))
+            logger.info(f"Resumed from {self.resume_model}: {ckpt_info}")
+
+        rng = np.random.default_rng(cfg.seed)
+        cv_idx = jnp.arange(cv.n_utts, dtype=jnp.int32)[:, None]  # batch 1
+        tr_args = [corpus.arrays[k] for k in dc.CACHE_KEYS]
+        cv_args = [cv.arrays[k] for k in dc.CACHE_KEYS]
+        n_frames = count_frames(
+            corpus.n_samples, self.scfg.win_len, self.scfg.hop
+        )
+        audio_s = cfg.batch_size * corpus.n_samples / 16000.0
+
+        while ckpt_info["cur_epoch"] < cfg.max_n_epochs:
+            order = np.arange(corpus.n_utts)
+            rng.shuffle(order)
+            idx = jnp.asarray(
+                order[: steps_per_epoch * cfg.batch_size]
+                .reshape(steps_per_epoch, cfg.batch_size)
+                .astype(np.int32)
+            )
+            t0 = time.perf_counter()
+            params, opt_state, losses = epoch_fn(
+                params, opt_state, *tr_args, idx, erb
+            )
+            losses = np.asarray(losses)  # one readback per epoch
+            epoch_time = time.perf_counter() - t0
+            batch_time = epoch_time / steps_per_epoch
+
+            if self.time_log and is_primary():
+                with open(self.time_log, "a") as f:
+                    for n_iter, loss_val in enumerate(losses):
+                        print(
+                            f"Epoch [{ckpt_info['cur_epoch'] + 1}/"
+                            f"{cfg.max_n_epochs}], Iter [{n_iter}], "
+                            f"tr_loss = {loss_val:.4f} / "
+                            f"{losses[: n_iter + 1].mean():.4f}, "
+                            f"batch_time (s) = {batch_time:.4f}",
+                            file=f,
+                        )
+
+            cv_losses = np.asarray(cv_fn(params, *cv_args, cv_idx, erb))
+            metrics = {"loss": float(cv_losses.mean())}
+            ckpt_info["cur_iter"] = steps_per_epoch - 1
+            # uniform-length corpus: frame weights are equal, the
+            # frame-weighted mean reduces to the plain mean
+            ckpt_info["tr_loss"] = float(losses.mean())
+            ckpt_info["cv_loss"] = metrics["loss"]
+            is_best = metrics["loss"] < ckpt_info["best_loss"]
+            if is_best:
+                ckpt_info["best_loss"] = metrics["loss"]
+            if is_primary():
+                checkpoints.save_latest_best(
+                    os.path.join(self.ckpt_dir, "models"),
+                    {"params": params, "opt_state": opt_state},
+                    ckpt_info,
+                    is_best,
+                )
+                loss_log(
+                    os.path.join(self.ckpt_dir, self.loss_log_name),
+                    ckpt_info,
+                    metrics,
+                )
+                with open(
+                    os.path.join(self.ckpt_dir, "metrics.jsonl"), "a"
+                ) as f:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "epoch": ckpt_info["cur_epoch"] + 1,
+                                "iter": ckpt_info["cur_iter"],
+                                "tr_loss": ckpt_info["tr_loss"],
+                                "cv_loss": metrics["loss"],
+                                "batch_time_s": round(batch_time, 5),
+                                "epoch_time_s": round(epoch_time, 3),
+                                "train_xrt": round(audio_s / batch_time, 1),
+                                "n_frames_per_batch": n_frames,
+                            }
+                        )
+                        + "\n"
+                    )
+            logger.info(
+                "Epoch [{:d}/{:d}] {:.2f}s, ( tr_loss: {:.4f} | cv_loss: "
+                "{:.4f} | best_loss: {:.4f} )".format(
+                    ckpt_info["cur_epoch"] + 1,
+                    cfg.max_n_epochs,
+                    epoch_time,
+                    ckpt_info["tr_loss"],
+                    metrics["loss"],
+                    ckpt_info["best_loss"],
+                )
+            )
             ckpt_info["cur_epoch"] += 1
         return {"params": params, "opt_state": opt_state, "ckpt_info": ckpt_info}
 
