@@ -85,10 +85,16 @@ def batched(params, erb, key, quality, gain_norm):
 
 
 def serving(params, erb, key, gain_norm):
-    """Fused serving step, S=1024 sessions x one 16 ms block."""
-    from aec_tpu.kernels.pallas_serving import serving_init, serving_step_fused
+    """Fused serving step, S=1024 sessions x one 16 ms block.
 
-    S, HOP = 1024, 256
+    Uses ab_serving's hardened least-squares slope (4 k-points x 5 reps,
+    state-bandwidth floor guard) — the first capture of this A/B used a
+    naive 2-point slope over only ~4 ms of signal and read 0.038 ms/step,
+    BELOW the 0.139 ms floor: tunnel-jitter garbage, not data."""
+    from aec_tpu.kernels.pallas_serving import serving_init, serving_step_fused
+    from benchmarks.ab_serving import slope
+
+    S = 1024
     state = serving_init(S, tile=128)
 
     @jax.jit
@@ -101,66 +107,54 @@ def serving(params, erb, key, gain_norm):
 
         return jnp.sum(jax.lax.scan(body, st, fm)[1])
 
-    # serving cost is sub-ms: use wider k points for slope stability
-    @partial(jax.jit, static_argnums=1)
-    def gen(k_, k):
-        return jax.random.normal(k_, (k, 2, S, HOP), jnp.float32)
-
-    meds = {}
-    for k in (8, 40):
-        ts = []
-        warm = gen(jax.random.fold_in(key, 10 * k + 99), k)
-        jax.block_until_ready(warm)
-        float(run_k(state, warm))
-        del warm
-        for r in range(REPS):
-            b = gen(jax.random.fold_in(key, 10 * k + r), k)
-            jax.block_until_ready(b)
-            t0 = time.perf_counter()
-            float(run_k(state, b))
-            ts.append(time.perf_counter() - t0)
-            del b
-        meds[k] = ts
-    slopes = [(meds[40][i] - meds[8][i]) / 32.0 for i in range(REPS)]
-    slopes = [s for s in slopes if s > 1e-6] or [
-        float(np.median(meds[40])) / 40
-    ]
-    return float(np.median(slopes))
+    return slope(run_k, state, key)
 
 
 def main() -> None:
+    import sys
+
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
     params = little_net_init(jax.random.PRNGKey(0))
     erb = jnp.asarray(erb_filterbank())
     key = jax.random.PRNGKey(7)
     audio_s = BATCH * N / 16000.0
 
     results = {}
-    for qi, (name, q) in enumerate((("parity", "parity"), ("fast", "fast"))):
+    if not only or any("two_stage" in f for f in only):
+        for qi, (name, q) in enumerate((("parity", "parity"), ("fast", "fast"))):
+            for gn in (False, True):
+                per = batched(
+                    params, erb, jax.random.fold_in(key, 10 * qi + gn), q, gn
+                )
+                row = {
+                    "ms": round(per * 1e3, 2),
+                    "xrt": round(audio_s / per, 1),
+                }
+                results[f"two_stage_{name}_gn{int(gn)}"] = row
+                print(f"two_stage_{name}_gn{int(gn)}", row, flush=True)
+    if not only or any("serving" in f for f in only):
         for gn in (False, True):
-            per = batched(params, erb, jax.random.fold_in(key, 10 * qi + gn), q, gn)
+            per = serving(params, erb, jax.random.fold_in(key, 50 + gn), gn)
             row = {
-                "ms": round(per * 1e3, 2),
-                "xrt": round(audio_s / per, 1),
+                "step_ms": round(per * 1e3, 3),
+                "streams": round(1024 * (256 / 16000.0) / per, 1),
             }
-            results[f"two_stage_{name}_gn{int(gn)}"] = row
-            print(f"two_stage_{name}_gn{int(gn)}", row, flush=True)
-    for gn in (False, True):
-        per = serving(params, erb, jax.random.fold_in(key, 50 + gn), gn)
-        row = {
-            "step_ms": round(per * 1e3, 3),
-            "streams": round(1024 * (256 / 16000.0) / per, 1),
-        }
-        results[f"serving_fused_gn{int(gn)}"] = row
-        print(f"serving_fused_gn{int(gn)}", row, flush=True)
+            results[f"serving_fused_gn{int(gn)}"] = row
+            print(f"serving_fused_gn{int(gn)}", row, flush=True)
 
     print(json.dumps(results))
     if jax.default_backend() == "tpu":
         os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
-        with open(ARTIFACT, "w") as f:
-            json.dump(
-                {"batch": BATCH, "n": N, "slope_reps": REPS, **results}, f,
-                indent=1,
-            )
+        # merge-update: a section rerun must not drop the other rows
+        merged = {"batch": BATCH, "n": N, "slope_reps": REPS}
+        if os.path.isfile(ARTIFACT):
+            with open(ARTIFACT) as f:
+                merged.update(json.load(f))
+        merged.update(results)
+        tmp = ARTIFACT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1)
+        os.replace(tmp, ARTIFACT)
         print("wrote", ARTIFACT, flush=True)
 
 
