@@ -161,7 +161,12 @@ def run_suite(configs: str, small: bool, deadline: float | None = None) -> dict:
     ``deadline`` is an absolute time.monotonic() cutoff: configs not yet
     STARTED by then are skipped (the final headline must still fit).
     """
+    from benchmarks import baseline_configs
     from benchmarks.baseline_configs import BENCHES
+
+    # visible to multi-stage configs (#7) so a single config's optional
+    # stages can't bust the envelope from INSIDE a BENCHES call
+    baseline_configs.DEADLINE = deadline
 
     suite = {}
     for c in configs.split(","):
