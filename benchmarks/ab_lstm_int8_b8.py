@@ -1,0 +1,119 @@
+"""ATT-CCRN batch-8: does the int8 weight stream still win when batching
+already amortizes the HBM stream?
+
+Round-4 established int8 as the batch-1 inference default (3.6x — the
+67 MB int8 block goes VMEM-resident where the 134 MB bf16 block cannot,
+`ab_lstm_int8_r4.json`). The zoo's batch-8 row (13.56 ms/utt, 590x) is
+bf16: at batch 8 the weight stream is split over 8 utterances, so the
+relative win should shrink — but VMEM residency is batch-independent, so
+int8 may still pay. This measures it (same-process slope, on-device
+buffers, distinct keys per rep) and writes
+``benchmarks/results/ab_lstm_int8_b8_r5.json``.
+
+Quality note: the int8 quantization arithmetic is identical at any batch
+(per-row weight scales, fixed-scale hidden state), so the round-4 8-scene
+wav-SNR grade (>=71.4 dB vs bf16) carries over unchanged.
+
+Usage: python -m benchmarks.ab_lstm_int8_b8
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ARTIFACT = "benchmarks/results/ab_lstm_int8_b8_r5.json"
+B = 8
+REPS = 4
+KS = (1, 4)
+
+
+def main() -> None:
+    from aec_tpu.models.att_ccrn import (
+        AttCcrnConfig, att_ccrn_apply, att_ccrn_init,
+    )
+
+    acfg = AttCcrnConfig()
+    aparams, astate = jax.jit(lambda k: att_ccrn_init(k, acfg))(
+        jax.random.PRNGKey(2)
+    )
+    n = 8 * 16000 // 256 * 256
+
+    @partial(jax.jit, static_argnums=1)
+    def gen(key, k):
+        return jax.random.normal(key, (k, 2, B, n), jnp.float32)
+
+    out = {}
+    for name, rd in (("default", None), ("int8", "int8")):
+
+        @partial(jax.jit, static_argnums=3)
+        def run_k(p, s, fms, rd_):  # fms: (k, 2, B, n)
+            def body(c, fm):
+                wav = att_ccrn_apply(
+                    p, s, fm[1], fm[0], acfg, lstm_recurrent_dtype=rd_
+                )[0]["wav"]
+                return c + jnp.sum(wav), None
+
+            return jax.lax.scan(body, jnp.float32(0.0), fms)[0]
+
+        base = jax.random.PRNGKey(17 if rd else 13)
+        med = {}
+        for k in KS:
+            warm = gen(jax.random.fold_in(base, 10 * k + 9), k)
+            jax.block_until_ready(warm)
+            float(run_k(aparams, astate, warm, rd))
+            del warm
+            ts = []
+            for r in range(REPS):
+                b = gen(jax.random.fold_in(base, 10 * k + r), k)
+                jax.block_until_ready(b)
+                t0 = time.perf_counter()
+                float(run_k(aparams, astate, b, rd))
+                ts.append(time.perf_counter() - t0)
+                del b
+            med[k] = float(np.median(ts))
+        per_batch = (med[KS[1]] - med[KS[0]]) / (KS[1] - KS[0])
+        per_utt = per_batch / B
+        out[name] = {
+            "batch_ms": round(per_batch * 1e3, 2),
+            "utt_ms": round(per_utt * 1e3, 2),
+            "xrt_per_utt": round(n / 16000.0 / per_utt, 1),
+        }
+        print(name, out[name], flush=True)
+
+    out["speedup"] = round(
+        out["default"]["utt_ms"] / out["int8"]["utt_ms"], 3
+    )
+    out["note"] = (
+        f"att_ccrn_apply batch {B}, 8 s utterances, counts={KS} slope x "
+        f"{REPS} reps, same process, on-device buffers"
+    )
+    print(json.dumps(out))
+    if jax.default_backend() == "tpu":
+        os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+        tmp = ARTIFACT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, ARTIFACT)
+        print("wrote", ARTIFACT, flush=True)
+
+
+if __name__ == "__main__":
+    last = None
+    for _ in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            last = e
+            print("retry after:", e, flush=True)
+            time.sleep(5)
+    else:
+        raise last
