@@ -714,6 +714,21 @@ def bench_model_zoo(small=False) -> dict:
     )
     out["att_ccrn_int8"] = {"xrt": round(xrt_ai, 1), "utt_ms": round(per_ai * 1e3, 2)}
 
+    # int8 AND batch 8 — the best production config (round-5
+    # ab_lstm_int8_b8_r5.json: 3.85x over bf16 at batch 8; int8's VMEM
+    # residency is batch-invariant while the bf16 stream only amortizes)
+    xrt_aib, _, per_aib = _sequential_device_xrt(
+        lambda c, f, m: att_ccrn_apply(
+            c[0], c[1], m[None] * scales, f[None] * scales, acfg,
+            lstm_recurrent_dtype="int8",
+        )[0]["wav"],
+        n_a, rng, counts=counts, carried=(aparams, astate),
+    )
+    out["att_ccrn_int8_batch8"] = {
+        "xrt_per_utt": round(xrt_aib * ab, 1),
+        "utt_ms": round(per_aib * 1e3 / ab, 2),
+    }
+
     erb = jnp.asarray(erb_filterbank())
     gparams = two_layer_gru_init(jax.random.PRNGKey(3))
     xrt_g, _, per_g = _sequential_device_xrt(
