@@ -30,12 +30,18 @@ import jax
 import jax.numpy as jnp
 
 ARTIFACT = "benchmarks/results/ab_lstm_int8_b8_r5.json"
-B = 8
+B = 8  # override with --batch N (artifact rows are keyed by batch)
 REPS = 4
 KS = (1, 4)
 
 
 def main() -> None:
+    import sys
+
+    global B
+    if "--batch" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
+
     from aec_tpu.models.att_ccrn import (
         AttCcrnConfig, att_ccrn_apply, att_ccrn_init,
     )
@@ -98,9 +104,17 @@ def main() -> None:
     print(json.dumps(out))
     if jax.default_backend() == "tpu":
         os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+        # merge-keyed by batch: a --batch 16 run must not drop the b8 row
+        merged = {}
+        if os.path.isfile(ARTIFACT):
+            with open(ARTIFACT) as f:
+                merged = json.load(f)
+            if "default" in merged:  # first-capture flat layout -> b8 row
+                merged = {"b8": merged}
+        merged[f"b{B}"] = out
         tmp = ARTIFACT + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump(merged, f, indent=1)
         os.replace(tmp, ARTIFACT)
         print("wrote", ARTIFACT, flush=True)
 
